@@ -1,0 +1,224 @@
+"""Dictionary-compile job: ontology sources -> broadcastable side tables.
+
+Re-realizes the reference's build-time ``OntologyParser.populate_databases``
+path (resolve_synonyms groupby + curation generation + metadata export,
+/root/reference/kazu/ontology_preprocessing/base.py:846-997, 1095-1147)
+as a Ray Data job:
+
+    from_pandas(long-thin synonym frame)
+      -> map_batches(term_norm + is_symbolic)          # vectorizable scalar fns
+      -> groupby(parser_name, term_norm).map_groups    # THE compile shuffle
+      -> score_and_group_ids per group                 # EquivalentIdSet clustering
+      -> write synonyms.parquet / metadata.parquet / curations.parquet
+
+At 10^6+ synonym rows per real ontology this runs as a distributed
+shuffle; the outputs are small side tables that runtime stages broadcast
+(read once per actor in ``__init__``), replacing the reference's
+singleton in-memory DBs and diskcache.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..constants import (
+    AGG_MERGED_NON_SYMBOLIC,
+    AGG_RESOLVED_BY_SIMILARITY,
+    AGG_UNAMBIGUOUS,
+    HIGHLY_LIKELY,
+    PROBABLE,
+)
+from ..functions.normalize import classify_symbolic, normalize
+from ..state.embedder import HashedNgramEmbedder
+from .synth import find_kb, metadata_frame, synonym_frame
+
+SYNONYM_MERGE_THRESHOLD = 0.70  # reference base.py synonym_merge_threshold
+
+SYNONYMS_SCHEMA = pa.schema(
+    [
+        ("parser_name", pa.string()),
+        ("entity_class", pa.string()),
+        ("term_norm", pa.string()),
+        ("terms", pa.list_(pa.string())),
+        ("is_symbolic", pa.bool_()),
+        ("mapping_types", pa.list_(pa.string())),
+        (
+            "assoc_sets",
+            pa.list_(pa.list_(pa.struct([("idx", pa.string()), ("source", pa.string())]))),
+        ),
+        ("agg_strategy", pa.string()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class CompiledDicts:
+    synonyms_path: str
+    metadata_path: str
+    curations_path: str
+
+
+def score_and_group_ids(
+    ids_and_source: set[tuple[str, str]],
+    is_symbolic: bool,
+    labels_by_idx: dict[str, str],
+    scorer: HashedNgramEmbedder,
+) -> tuple[list[list[tuple[str, str]]], str]:
+    """Cluster the ids behind one normalized synonym into equivalent-id sets.
+
+    Default algorithm of the reference (base.py:895-997): single id or
+    non-symbolic synonym -> one set; otherwise greedy agglomeration by
+    default-label string similarity above SYNONYM_MERGE_THRESHOLD.
+    """
+    if len(ids_and_source) == 1:
+        return [sorted(ids_and_source)], AGG_UNAMBIGUOUS
+    if not is_symbolic:
+        return [sorted(ids_and_source)], AGG_MERGED_NON_SYMBOLIC
+    clusters: list[tuple[set[tuple[str, str]], set[str]]] = []
+    for pair in sorted(ids_and_source):
+        label = labels_by_idx.get(pair[0], pair[0])
+        best, best_score = None, 0.0
+        for cluster in clusters:
+            sim = max(scorer.similarity(label, other) for other in cluster[1])
+            if sim > SYNONYM_MERGE_THRESHOLD and sim > best_score:
+                best, best_score = cluster, sim
+        if best is None:
+            clusters.append(({pair}, {label}))
+        else:
+            best[0].add(pair)
+            best[1].add(label)
+    return [sorted(c[0]) for c in clusters], AGG_RESOLVED_BY_SIMILARITY
+
+
+def _add_norm_columns(df: pd.DataFrame) -> pd.DataFrame:
+    # scalar python fns over strings; lru-cached per worker
+    df = df.copy()
+    df["term_norm"] = [
+        normalize(s, ec) for s, ec in zip(df["syn"], df["entity_class"])
+    ]
+    df["syn_symbolic"] = [
+        classify_symbolic(s, ec) for s, ec in zip(df["syn"], df["entity_class"])
+    ]
+    return df
+
+
+class _ResolveGroup:
+    """map_groups UDF: one (parser_name, term_norm) group -> one compiled row."""
+
+    def __init__(self, labels_by_idx: dict[str, str]):
+        self.labels_by_idx = labels_by_idx
+        self.scorer = HashedNgramEmbedder()
+
+    def __call__(self, group: pd.DataFrame) -> pa.Table:
+        parser = group["parser_name"].iloc[0]
+        term_norm = group["term_norm"].iloc[0]
+        entity_class = group["entity_class"].iloc[0]
+        terms = sorted(set(group["syn"]))
+        mapping_types = sorted(set(group["mapping_type"]))
+        # reference semantics: symbolic iff EVERY raw surface form is symbolic
+        is_symbolic = bool(group["syn_symbolic"].all())
+        ids_and_source = {(idx, find_kb(idx)) for idx in group["idx"]}
+        assoc, strategy = score_and_group_ids(
+            ids_and_source, is_symbolic, self.labels_by_idx, self.scorer
+        )
+        assoc_struct = [
+            [{"idx": i, "source": s} for i, s in id_set] for id_set in assoc
+        ]
+        return pa.Table.from_pydict(
+            {
+                "parser_name": [parser],
+                "entity_class": [entity_class],
+                "term_norm": [term_norm],
+                "terms": [terms],
+                "is_symbolic": [is_symbolic],
+                "mapping_types": [mapping_types],
+                "assoc_sets": [assoc_struct],
+                "agg_strategy": [strategy],
+            },
+            schema=SYNONYMS_SCHEMA,
+        )
+
+
+def default_curations(syn_df: pd.DataFrame) -> pd.DataFrame:
+    """Autocuration-style defaults (reference base.py:363-524 in spirit):
+
+    - symbolic surface forms of <=4 chars are case-sensitive (guards traps
+      like "ALL" / "AD" against common lowercase words);
+    - long non-symbolic forms are HIGHLY_LIKELY mentions, everything else
+      PROBABLE.
+    """
+    rows = []
+    for _, r in syn_df.iterrows():
+        sym = classify_symbolic(r["syn"], r["entity_class"])
+        case_sensitive = bool(sym and len(r["syn"]) <= 4)
+        conf = HIGHLY_LIKELY if (not sym and len(r["syn"]) >= 5) else PROBABLE
+        rows.append(
+            (
+                r["parser_name"],
+                r["entity_class"],
+                r["syn"],
+                normalize(r["syn"], r["entity_class"]),
+                case_sensitive,
+                conf,
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "parser_name",
+            "entity_class",
+            "curated_synonym",
+            "term_norm",
+            "case_sensitive",
+            "mention_confidence",
+        ],
+    )
+    # one curation per (parser, surface): max confidence, any case-sensitivity
+    return (
+        df.groupby(["parser_name", "entity_class", "curated_synonym", "term_norm"], as_index=False)
+        .agg({"case_sensitive": "any", "mention_confidence": "max"})
+    )
+
+
+def compile_dictionaries(out_dir: str, source_df: pd.DataFrame | None = None) -> CompiledDicts:
+    """Run the compile job; returns paths of the three side tables."""
+    import ray
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    syn_df = source_df if source_df is not None else synonym_frame()
+    meta_df = metadata_frame()
+    labels_by_idx = dict(zip(meta_df["idx"], meta_df["default_label"]))
+
+    metadata_path = os.path.join(out_dir, "metadata.parquet")
+    pq.write_table(pa.Table.from_pandas(meta_df, preserve_index=False), metadata_path)
+
+    curations_path = os.path.join(out_dir, "curations.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(default_curations(syn_df), preserve_index=False), curations_path
+    )
+
+    synonyms_path = os.path.join(out_dir, "synonyms.parquet")
+    ds = rd.from_pandas(syn_df)
+    compiled = (
+        ds.map_batches(_add_norm_columns, batch_format="pandas")
+        .groupby(["parser_name", "term_norm"])
+        .map_groups(
+            _ResolveGroup,
+            fn_constructor_args=(labels_by_idx,),
+            batch_format="pandas",
+            concurrency=2,
+        )
+    )
+    batches = [
+        b.cast(SYNONYMS_SCHEMA)
+        for b in compiled.iter_batches(batch_format="pyarrow", batch_size=4096)
+    ]
+    table = pa.concat_tables(batches) if batches else SYNONYMS_SCHEMA.empty_table()
+    pq.write_table(table, synonyms_path)
+    return CompiledDicts(synonyms_path, metadata_path, curations_path)
