@@ -1,0 +1,155 @@
+"""The flagship KG-construction pipeline.
+
+    interleaved docs (doc_id, spans)
+      -> map_batches(DictionaryNer, actor pool)      # joint NER + exact link
+      -> map_batches(DocPostProcessor, actor pool)   # abbrev + cascade +
+                                                     # cleanup + merge (doc-local)
+      -> map_batches(emit_triples)                   # flatten
+      -> partial agg -> groupby(subj,pred,obj)       # canonicalize (shuffle)
+      -> write edges/nodes parquet                   # partitioned, resumable
+
+Mirrors the reference's default step order
+(/root/reference/kazu/conf/Pipeline/default.yaml:4-12) with the
+document-local steps fused (SURVEY.md §7 stage 6).  The ``spans`` column
+is never modified by any stage (per-row span-sequence invariant).
+
+Resumability: ``run_partitioned`` splits the input by doc_id-hash into
+named partitions; each partition writes ``edges/part=K`` plus a
+``_lineage/part=K.json`` record (inputs, counts, wall time).  A rerun
+skips partitions whose lineage record validates — the per-partition
+checkpoint semantics required by the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ..ontology.compile import CompiledDicts
+from ..stages.dict_ner import DictionaryNer
+from ..stages.doc_post import DocPostProcessor
+from ..stages.triples import canonicalize_edges, canonicalize_nodes, emit_triples_batch
+
+# prefilter guard, reference pipeline.py:138-155 (skip_doc_len)
+MAX_DOC_CHARS = 200_000
+
+
+def prefilter_batch(batch):
+    """Tag over-long docs with an error instead of dropping them
+    (dead-letter semantics, reference Pipeline.prefilter_docs:195-209)."""
+    import polars as pl
+    import pyarrow as pa
+
+    totals = (
+        pl.from_arrow(batch.select(["spans"]))["spans"]
+        .list.eval(pl.element().struct.field("text").str.len_chars())
+        .list.sum()
+        .fill_null(0)
+        .to_list()
+    )
+    err = pa.array(
+        [None if t <= MAX_DOC_CHARS else f"doc too long: {t} chars" for t in totals],
+        type=pa.string(),
+    )
+    if "error" in batch.schema.names:
+        batch = batch.drop_columns(["error"])
+    return batch.append_column("error", err)
+
+
+def annotate(docs_ds, dicts: CompiledDicts, *, ner_concurrency=4, post_concurrency=4,
+             batch_size=256):
+    """docs Dataset -> docs Dataset with final ``entities`` column."""
+    ds = docs_ds.map_batches(prefilter_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        DictionaryNer,
+        fn_constructor_args=(dicts.curations_path, dicts.synonyms_path),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=ner_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        DocPostProcessor,
+        fn_constructor_args=(dicts.synonyms_path, dicts.metadata_path),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=post_concurrency,
+        num_cpus=1,
+    )
+    return ds
+
+
+def build_graph(annotated_ds):
+    """annotated docs -> (edges Dataset, nodes Dataset)."""
+    triples = annotated_ds.map_batches(emit_triples_batch, batch_format="pyarrow")
+    edges = canonicalize_edges(triples)
+    nodes = canonicalize_nodes(annotated_ds)
+    return edges, nodes
+
+
+def run_partitioned(
+    sf_dir: str,
+    out_dir: str,
+    dicts: CompiledDicts,
+    *,
+    num_partitions: int = 4,
+    resume: bool = True,
+    ner_concurrency=4,
+    post_concurrency=4,
+) -> dict:
+    """Partitioned, resumable end-to-end run over documents.parquet.
+
+    One Ray Data job per doc_id-hash partition; each writes
+    ``edges/part=K/`` + ``nodes/part=K/`` atomically-ish and records
+    lineage.  On resume, partitions with a valid lineage record are
+    skipped and their recorded metrics reused.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..sources.interleave import interleave_batch
+
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    results = {}
+    for part in range(num_partitions):
+        lineage_path = os.path.join(lineage_dir, f"part={part}.json")
+        if resume and os.path.exists(lineage_path):
+            with open(lineage_path) as f:
+                rec = json.load(f)
+            if rec.get("status") == "complete":
+                results[part] = rec
+                continue
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        part_ds = ds.filter(
+            expr=f"doc_id % {num_partitions} == {part}"
+        ) if num_partitions > 1 else ds
+        docs = part_ds.map_batches(interleave_batch, batch_format="pyarrow")
+        annotated = annotate(
+            docs, dicts, ner_concurrency=ner_concurrency, post_concurrency=post_concurrency
+        )
+        edges, nodes = build_graph(annotated)
+        edges_path = os.path.join(out_dir, "edges", f"part={part}")
+        nodes_path = os.path.join(out_dir, "nodes", f"part={part}")
+        edges = edges.materialize()
+        n_edges = edges.count()
+        edges.write_parquet(edges_path)
+        nodes = nodes.materialize()
+        n_nodes = nodes.count()
+        nodes.write_parquet(nodes_path)
+        rec = {
+            "status": "complete",
+            "partition": part,
+            "num_partitions": num_partitions,
+            "input": f"{sf_dir}/documents.parquet",
+            "n_edges": n_edges,
+            "n_nodes": n_nodes,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        with open(lineage_path + ".tmp", "w") as f:
+            json.dump(rec, f)
+        os.replace(lineage_path + ".tmp", lineage_path)
+        results[part] = rec
+    return results

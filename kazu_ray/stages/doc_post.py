@@ -1,0 +1,428 @@
+"""Document-local post-processing: one fused actor-pool ``map_batches``
+stage that applies, per document row, in order:
+
+1. Schwartz–Hearst abbreviation expansion (reference
+   kazu/utils/abbreviation_detector.py:88-448, algorithm from
+   Schwartz & Hearst 2003 / scispaCy's public implementation);
+2. the mapping/disambiguation cascade (reference MappingStep +
+   StrategyRunner, steps/linking/post_processing/strategy_runner.py:162-342
+   and disambiguation/strategies.py — see SURVEY.md §2k);
+3. cleanup (drop AMBIGUOUS mappings, drop low-confidence unmapped
+   entities, strip URI ids — steps/other/cleanup.py:24-191);
+4. overlapping-entity merge (steps/other/merge_overlapping_ents.py:54-140).
+
+All four need whole-document state and nothing else, so fusing them into
+one row-local stage reproduces the reference's sequential semantics
+exactly while staying embarrassingly parallel across documents — the
+Ray-idiomatic boundary (SURVEY.md §3).
+
+Deviation from the reference, documented: the reference runs the cascade
+sequentially over entity groups sorted by confidence/key, letting
+``DefinedElsewhereInDocumentDisambiguationStrategy`` observe mappings
+added moments earlier.  We run two deterministic passes instead (pass 1
+resolves unambiguous candidates and records the document's mapped ids;
+pass 2 disambiguates the rest against that state), which yields the same
+fixpoint on acceptance fixtures without order-dependent bookkeeping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from ..constants import (
+    HIGHLY_LIKELY,
+    LINK_AMBIGUOUS,
+    LINK_CERTAIN,
+    LINK_PROBABLE,
+    NS_ABBREV,
+    PROBABLE,
+)
+from ..functions.normalize import normalize
+from ..functions.tokens import Token, tokenize
+from ..schemas import ENTITIES_COLUMN
+from ..state.embedder import HashedNgramEmbedder
+from ..state.side_tables import SynRecord, load_metadata, load_synonyms
+
+# merge preference, reference conf/MergeOverlappingEntsStep/default.yaml
+# (reference classes cell_type / biological_process etc. map to our
+# synthetic parser classes)
+ENT_CLASS_PREFERRED_ORDER = [
+    "disease", "drug", "gene", "anatomy", "cell", "go_bp", "go_mf", "go_cc",
+]
+
+CONTEXT_SIM_THRESHOLD = 0.70  # reference TfIdfDisambiguationStrategy threshold
+
+
+# ---------------------------------------------------------------------------
+# Schwartz–Hearst abbreviation detection
+# ---------------------------------------------------------------------------
+
+
+def backmatch_abbreviation(long_toks: list[Token], short_text: str) -> int | None:
+    """Schwartz–Hearst character back-matching: return the index into
+    ``long_toks`` where the long form starts, or None if no match.
+
+    Each short-form character must appear in order (scanning backwards)
+    in the long form; the first character must begin a word.
+    """
+    long_form = " ".join(t.text for t in long_toks)
+    li = len(long_form) - 1
+    si = len(short_text) - 1
+    while si >= 0:
+        c = short_text[si].lower()
+        if not c.isalnum():
+            si -= 1
+            continue
+        while (li >= 0 and long_form[li].lower() != c) or (
+            si == 0 and li > 0 and long_form[li - 1].isalnum()
+        ):
+            li -= 1
+        if li < 0:
+            return None
+        li -= 1
+        si -= 1
+    li += 1
+    consumed = 0
+    for i, tok in enumerate(long_toks):
+        consumed += len(tok.text) + 1  # joined with single spaces
+        if consumed > li:
+            return i
+    return None
+
+
+def _short_form_ok(toks: list[Token]) -> bool:
+    if not toks or not all(2 <= len(t.text) < 10 for t in toks):
+        return False
+    text = " ".join(t.text for t in toks)
+    if sum(c.isalpha() for c in text) / len(text) < 0.5:
+        return False
+    return text[0].isalpha()
+
+
+def find_abbreviation_definitions(
+    toks: list[Token], text: str
+) -> list[tuple[tuple[int, int], tuple[int, int], str]]:
+    """Find (long_span, short_span, short_text) definition triples in one
+    span's token stream (reference filter_matches semantics,
+    abbreviation_detector.py:154-195)."""
+    out = []
+    open_idxs = [i for i, t in enumerate(toks) if t.text == "("]
+    for oi in open_idxs:
+        try:
+            ci = next(j for j in range(oi + 1, len(toks)) if toks[j].text == ")")
+        except StopIteration:
+            continue
+        content = toks[oi + 1 : ci]
+        if not content or len(content) > 8 or oi == 0:
+            continue
+        if len(content) > 3:
+            # long form inside the parens; short form is the word before
+            if oi - 1 < 0:
+                continue
+            short_toks = [toks[oi - 1]]
+            long_toks = content
+        else:
+            short_toks = content
+            abbrev_len = sum(len(t.text) for t in content)
+            max_words = min(abbrev_len + 5, abbrev_len * 2)
+            long_toks = toks[max(oi - max_words, 0) : oi]
+        if not long_toks or not _short_form_ok(short_toks):
+            continue
+        start_tok = backmatch_abbreviation(long_toks, " ".join(t.text for t in short_toks))
+        if start_tok is None:
+            continue
+        long_span = (long_toks[start_tok].start, long_toks[-1].end)
+        short_span = (short_toks[0].start, short_toks[-1].end)
+        out.append((long_span, short_span, text[short_span[0] : short_span[1]]))
+    return out
+
+
+def expand_abbreviations(spans: list[dict], entities: list[dict]) -> list[dict]:
+    """Document-wide abbreviation override (reference
+    KazuAbbreviationDetector.__call__:263-286): for each detected
+    definition whose long form is an entity, every occurrence of the
+    short form anywhere in the document replaces its local entities with
+    copies of the long-form entities."""
+    # tokenize text spans once
+    span_toks: dict[int, list[Token]] = {}
+    for i, sp in enumerate(spans):
+        if sp["text"]:
+            span_toks[i] = tokenize(sp["text"])
+
+    # index entities by (span_idx, start, end)
+    ents_at: dict[tuple[int, int, int], list[dict]] = {}
+    for e in entities:
+        ents_at.setdefault((e["span_idx"], e["start"], e["end"]), []).append(e)
+
+    # pass 1: collect unique definitions and their source entities
+    short_to_sources: dict[str, list[dict]] = {}
+    seen_long: set[str] = set()
+    for si, toks in span_toks.items():
+        for long_span, _short_span, short_text in find_abbreviation_definitions(
+            toks, spans[si]["text"]
+        ):
+            long_text = spans[si]["text"][long_span[0] : long_span[1]]
+            if long_text in seen_long or short_text in short_to_sources:
+                continue
+            seen_long.add(long_text)
+            sources = ents_at.get((si, long_span[0], long_span[1]), [])
+            short_to_sources[short_text] = sources
+    if not short_to_sources:
+        return entities
+
+    # pass 2: match every short-form occurrence document-wide, override
+    removed: set[int] = set()
+    added: list[dict] = []
+    for si, toks in span_toks.items():
+        for short_text, sources in short_to_sources.items():
+            stoks = short_text.split(" ")
+            n = len(stoks)
+            for i in range(len(toks) - n + 1):
+                if [t.text for t in toks[i : i + n]] != stoks:
+                    continue
+                start, end = toks[i].start, toks[i + n - 1].end
+                for e in entities:
+                    if (e["span_idx"], e["start"], e["end"]) == (si, start, end):
+                        removed.add(id(e))
+                for src in sources:
+                    added.append(
+                        {
+                            **src,
+                            "span_idx": si,
+                            "start": start,
+                            "end": end,
+                            "match": short_text,
+                            "match_norm": normalize(short_text, src["entity_class"]),
+                            "namespace": NS_ABBREV,
+                            "mention_confidence": HIGHLY_LIKELY,
+                        }
+                    )
+    kept = [e for e in entities if id(e) not in removed]
+    return kept + added
+
+
+# ---------------------------------------------------------------------------
+# mapping / disambiguation cascade
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Resolution:
+    id_set: frozenset[tuple[str, str]]
+    strategy: str
+    confidence: str
+
+
+class MappingCascade:
+    """Per-document candidate -> Mapping resolution (SURVEY.md §2k)."""
+
+    def __init__(self, synonyms, metadata, embedder: HashedNgramEmbedder):
+        self.synonyms = synonyms
+        self.metadata = metadata
+        self.embedder = embedder
+
+    def _make_mappings(self, parser: str, res: _Resolution) -> list[dict]:
+        out = []
+        for idx, source in sorted(res.id_set):
+            meta = self.metadata.get((parser, idx), {})
+            out.append(
+                {
+                    "parser_name": parser,
+                    "source": source,
+                    "idx": idx,
+                    "default_label": meta.get("default_label", ""),
+                    "string_match_strategy": "ExactMatch",
+                    "string_match_confidence": LINK_CERTAIN,
+                    "disambiguation_strategy": res.strategy,
+                    "disambiguation_confidence": res.confidence,
+                }
+            )
+        return out
+
+    def _disambiguate(
+        self,
+        rec: SynRecord,
+        entity: dict,
+        doc_mapped_ids: set[str],
+        doc_context: str,
+    ) -> _Resolution | None:
+        sets = rec.assoc_sets
+        # 1. DefinedElsewhereInDocument (disambiguation/strategies.py:100-149)
+        hits = [s for s in sets if any(i in doc_mapped_ids for i, _src in s)]
+        if len(hits) == 1:
+            return _Resolution(hits[0], "DefinedElsewhereInDocument", LINK_PROBABLE)
+        # 2. context-similarity (stand-in for TfIdfDisambiguationStrategy
+        #    :152-269; threshold 0.70, same shape: doc context vs per-set
+        #    label vectors)
+        if doc_context:
+            ctx_vec = self.embedder.encode(doc_context[:2000])
+            scored = []
+            for s in sets:
+                labels = [
+                    self.metadata.get((rec.parser_name, i), {}).get("default_label", i)
+                    for i, _src in s
+                ]
+                best = max(float(ctx_vec @ self.embedder.encode(lbl)) for lbl in labels)
+                scored.append((best, s))
+            scored.sort(key=lambda x: -x[0])
+            if scored[0][0] >= CONTEXT_SIM_THRESHOLD:
+                return _Resolution(scored[0][1], "ContextSimilarity", LINK_PROBABLE)
+        # 3. annotation-score (AnnotationLevelDisambiguationStrategy :361-397)
+        def set_score(s):
+            return max(
+                int(self.metadata.get((rec.parser_name, i), {}).get("annotation_score", 0) or 0)
+                for i, _src in s
+            )
+
+        scores = [(set_score(s), s) for s in sets]
+        scores.sort(key=lambda x: -x[0])
+        if len(scores) >= 2 and scores[0][0] > scores[1][0]:
+            return _Resolution(scores[0][1], "AnnotationLevel", LINK_PROBABLE)
+        # 4. prefer default-label match (:400-446)
+        label_hits = []
+        for s in sets:
+            for i, _src in s:
+                lbl = self.metadata.get((rec.parser_name, i), {}).get("default_label", "")
+                if lbl and normalize(lbl, rec.entity_class) == entity["match_norm"]:
+                    label_hits.append(s)
+                    break
+        if len(label_hits) == 1:
+            return _Resolution(label_hits[0], "PreferDefaultLabelMatch", LINK_PROBABLE)
+        return None
+
+    def run(self, spans: list[dict], entities: list[dict]) -> None:
+        doc_context = " ".join(sp["text"] for sp in spans if sp["text"])
+        doc_mapped_ids: set[str] = set()
+        ambiguous: list[tuple[dict, SynRecord]] = []
+
+        # pass 1: unambiguous candidates resolve immediately (ExactMatch)
+        for e in entities:
+            mappings: list[dict] = []
+            for cand in e["candidates"]:
+                rec = self.synonyms.get((cand["parser_name"], cand["term_norm"]))
+                if rec is None:
+                    continue
+                if not rec.is_ambiguous:
+                    res = _Resolution(rec.assoc_sets[0], "NotAmbiguous", LINK_CERTAIN)
+                    mappings.extend(self._make_mappings(rec.parser_name, res))
+                else:
+                    ambiguous.append((e, rec))
+            if mappings:
+                e["mappings"] = e["mappings"] + mappings
+                doc_mapped_ids.update(m["idx"] for m in mappings)
+
+        # pass 2: disambiguate against document state
+        for e, rec in ambiguous:
+            res = self._disambiguate(rec, e, doc_mapped_ids, doc_context)
+            if res is None:
+                # all candidate ids kept, flagged AMBIGUOUS -> cleanup drops
+                all_ids = frozenset(rec.all_ids())
+                res = _Resolution(all_ids, "NoStrategySucceeded", LINK_AMBIGUOUS)
+            e["mappings"] = e["mappings"] + self._make_mappings(rec.parser_name, res)
+
+
+# ---------------------------------------------------------------------------
+# cleanup + overlap merge
+# ---------------------------------------------------------------------------
+
+
+def _strip_uri(idx: str) -> str:
+    if "://" in idx:
+        return idx.rstrip("/").rsplit("/", 1)[-1]
+    return idx
+
+
+def cleanup_entities(entities: list[dict]) -> list[dict]:
+    """Default cleanup actions (reference conf/CleanupActions/default.yaml):
+    drop AMBIGUOUS-disambiguation mappings, then drop unmapped entities
+    whose mention confidence is below PROBABLE; strip URI ids."""
+    out = []
+    for e in entities:
+        mappings = [
+            {**m, "idx": _strip_uri(m["idx"])}
+            for m in e["mappings"]
+            if m["disambiguation_confidence"] != LINK_AMBIGUOUS
+        ]
+        e = {**e, "mappings": mappings}
+        if not mappings and e["mention_confidence"] < PROBABLE:
+            continue
+        out.append(e)
+    return out
+
+
+_CLASS_RANK = {c: i for i, c in enumerate(reversed(ENT_CLASS_PREFERRED_ORDER))}
+
+
+def merge_overlapping(entities: list[dict]) -> list[dict]:
+    """Sweep-line location grouping + 5-key preference sort (reference
+    merge_overlapping_ents.py:54-140), applied per document span."""
+    by_span: dict[int, list[dict]] = {}
+    for e in entities:
+        by_span.setdefault(e["span_idx"], []).append(e)
+    kept: list[dict] = []
+    for ents in by_span.values():
+        ents.sort(key=lambda e: e["start"])
+        group: list[dict] = []
+        group_end = -1
+        for e in ents:
+            if group and e["start"] < group_end:
+                group.append(e)
+                group_end = max(group_end, e["end"])
+            else:
+                if group:
+                    kept.append(_pick_preferred(group))
+                group = [e]
+                group_end = e["end"]
+        if group:
+            kept.append(_pick_preferred(group))
+    kept.sort(key=lambda e: (e["span_idx"], e["start"], e["end"]))
+    return kept
+
+
+def _pick_preferred(group: list[dict]) -> dict:
+    if len(group) == 1:
+        return group[0]
+    return max(
+        group,
+        key=lambda e: (
+            len(e["mappings"]) > 0,
+            e["end"] - e["start"],
+            _CLASS_RANK.get(e["entity_class"], 0),
+            e["mention_confidence"],
+            e["entity_class"],
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the fused stage
+# ---------------------------------------------------------------------------
+
+
+class DocPostProcessor:
+    """Actor-pool UDF over doc rows; ``spans`` passes through verbatim."""
+
+    def __init__(self, synonyms_path: str, metadata_path: str):
+        self.synonyms = load_synonyms(synonyms_path)
+        self.metadata = load_metadata(metadata_path)
+        self.embedder = HashedNgramEmbedder()
+        self.cascade = MappingCascade(self.synonyms, self.metadata, self.embedder)
+
+    def process_doc(self, spans: list[dict], entities: list[dict]) -> list[dict]:
+        entities = [dict(e) for e in entities]
+        entities = expand_abbreviations(spans, entities)
+        self.cascade.run(spans, entities)
+        entities = cleanup_entities(entities)
+        entities = merge_overlapping(entities)
+        return entities
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans").to_pylist()
+        ents_col = batch.column("entities").to_pylist()
+        new_ents = [
+            self.process_doc(spans, ents) for spans, ents in zip(spans_col, ents_col)
+        ]
+        batch = batch.drop_columns(["entities"])
+        return batch.append_column("entities", pa.array(new_ents, type=ENTITIES_COLUMN))

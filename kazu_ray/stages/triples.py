@@ -1,0 +1,111 @@
+"""Triple emission + canonicalization: the KG materialization stages.
+
+Flatten (doc, entity, mapping) into (subj, pred, obj) triples, then
+canonicalize with an aggregation shuffle.  Skew note (SURVEY.md §4):
+ultra-common keys ("cancer", "EGFR") would make a naive
+``groupby(subj,pred,obj)`` reduce-side-heavy, so we pre-aggregate inside
+``map_batches`` first (combiner pattern — each batch emits at most one
+row per distinct triple), which bounds any hot key's shuffle volume to
+one row per upstream block; the final groupby then only merges partials.
+This dominates key-salting for a dedup/count reduction, since the
+partial output is already the salted-round result.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..constants import PRED_CO_OCCURS, PRED_MAPS_TO, PRED_MENTIONS
+from ..schemas import TRIPLES_SCHEMA
+
+
+def emit_triples_batch(batch: pa.Table) -> pa.Table:
+    """map_batches UDF: doc rows (with final ``entities``) -> triple rows.
+
+    Emitted per document (reference north-star semantics):
+      (doc_id,            mentions,  <curie>)   per distinct grounded curie
+      (MENTION:<norm>,    maps-to,   <curie>)   per distinct (match_norm, curie)
+      (<curie_a>,         co-occurs, <curie_b>) per distinct pair, a < b
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    ents_col = batch.column("entities").to_pylist()
+    subj, pred, obj, tdoc, conf = [], [], [], [], []
+    for doc_id, ents in zip(doc_ids, ents_col):
+        curie_conf: dict[str, int] = {}
+        maps_to: set[tuple[str, str]] = set()
+        for e in ents:
+            for m in e["mappings"]:
+                c = m["idx"]
+                curie_conf[c] = max(curie_conf.get(c, 0), e["mention_confidence"])
+                maps_to.add((f"MENTION:{e['match_norm']}", c))
+        curies = sorted(curie_conf)
+        for c in curies:
+            subj.append(doc_id); pred.append(PRED_MENTIONS); obj.append(c)
+            tdoc.append(doc_id); conf.append(curie_conf[c])
+        for s, c in sorted(maps_to):
+            subj.append(s); pred.append(PRED_MAPS_TO); obj.append(c)
+            tdoc.append(doc_id); conf.append(curie_conf[c])
+        for i in range(len(curies)):
+            for j in range(i + 1, len(curies)):
+                subj.append(curies[i]); pred.append(PRED_CO_OCCURS); obj.append(curies[j])
+                tdoc.append(doc_id)
+                conf.append(min(curie_conf[curies[i]], curie_conf[curies[j]]))
+    return pa.Table.from_pydict(
+        {"subj": subj, "pred": pred, "obj": obj, "doc_id": tdoc, "confidence": conf},
+        schema=TRIPLES_SCHEMA,
+    )
+
+
+def partial_edge_agg(batch: pa.Table) -> pa.Table:
+    """Combiner: within-batch (subj,pred,obj) -> (n_docs, max confidence)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    out = (
+        df.group_by(["subj", "pred", "obj"])
+        .agg(
+            pl.col("doc_id").n_unique().alias("n_docs"),
+            pl.col("confidence").max().alias("confidence"),
+        )
+        .to_arrow()
+    )
+    return out
+
+
+def canonicalize_edges(triples_ds):
+    """triples Dataset -> canonical edges Dataset via partial-agg + final
+    groupby shuffle."""
+    from ray.data.aggregate import Max, Sum
+
+    partial = triples_ds.map_batches(partial_edge_agg, batch_format="pyarrow")
+    return (
+        partial.groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Max("confidence", alias_name="confidence"))
+    )
+
+
+def emit_nodes_batch(batch: pa.Table) -> pa.Table:
+    """doc rows -> distinct (curie, source, default_label) partials."""
+    ents_col = batch.column("entities").to_pylist()
+    seen: dict[str, tuple[str, str]] = {}
+    for ents in ents_col:
+        for e in ents:
+            for m in e["mappings"]:
+                seen.setdefault(m["idx"], (m["source"], m["default_label"]))
+    return pa.Table.from_pydict(
+        {
+            "curie": list(seen.keys()),
+            "source": [v[0] for v in seen.values()],
+            "default_label": [v[1] for v in seen.values()],
+        }
+    )
+
+
+def canonicalize_nodes(docs_ds):
+    from ray.data.aggregate import Max
+
+    partial = docs_ds.map_batches(emit_nodes_batch, batch_format="pyarrow")
+    return partial.groupby("curie").aggregate(
+        Max("source", alias_name="source"),
+        Max("default_label", alias_name="default_label"),
+    )
