@@ -1,0 +1,277 @@
+"""Deduplication operators for large-scale corpora.
+
+Not present in the reference (SURVEY.md §2e notes the gap) but required
+for a training-data-scale engine:
+
+- exact dedup: content-hash -> hash-partitioned groupby -> keep first;
+- word-set Jaccard pairs (exact, SQL-oracle-able);
+- MinHash + LSH banding near-dup (shingle -> minhash -> band ->
+  groupby(band) -> candidate pairs -> verify);
+- SimHash near-dup (hamming-banded);
+- embedding-cosine near-dup over the ``embeddings`` table.
+
+All hashing is deterministic across processes (zlib.crc32 / blake2b —
+never Python's salted ``hash``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_WORD = re.compile(r"[A-Za-z0-9]+")
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    """Survivors of exact-content dedup: min doc_id per md5(text).
+
+    Pattern: hash in map_batches (vectorizable), groupby(hash) shuffle,
+    keep one winner per group — at scale the shuffle is keyed on the
+    digest, which is uniformly distributed (no skew by construction)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"fp": pa.array(fps), "doc_id": t.column("doc_id")}
+        )
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-set Jaccard (exact pairs; the SQL-checkable n-gram-Jaccard baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_pairs(sf_dir: str, limit_docs: int = 120, threshold: float = 0.8):
+    """All-pairs word-set Jaccard >= threshold over the first
+    ``limit_docs`` docs.  Exact (quadratic) — the verification kernel the
+    LSH path below also uses; bounded input keeps it tractable, and the
+    DuckDB oracle checks it bit-for-bit."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    small = ds.filter(expr=f"doc_id < {limit_docs}")
+
+    def to_sets(t: pa.Table) -> pa.Table:
+        sets = [
+            sorted(set(w for w in _WORD.findall(x.lower())))
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "words": pa.array(sets, type=pa.list_(pa.string()))}
+        )
+
+    rows = to_sets(small.take_batch(limit_docs * 2, batch_format="pyarrow")).to_pylist()
+    rows.sort(key=lambda r: r["doc_id"])
+    out_a, out_b, out_j = [], [], []
+    word_sets = [(r["doc_id"], set(r["words"])) for r in rows]
+    for i in range(len(word_sets)):
+        a_id, a_set = word_sets[i]
+        for j in range(i + 1, len(word_sets)):
+            b_id, b_set = word_sets[j]
+            inter = len(a_set & b_set)
+            union = len(a_set | b_set)
+            jac = inter / union if union else 0.0
+            if round(jac, 4) >= threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(round(jac, 4))
+    import ray.data as rd2
+
+    return rd2.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16  # 16 bands x 4 rows
+_ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.default_rng(20240817)
+_A = _rng.integers(1, _MERSENNE - 1, size=N_PERM, dtype=np.int64)
+_B = _rng.integers(0, _MERSENNE - 1, size=N_PERM, dtype=np.int64)
+
+
+def _shingles(text: str, n: int = 3) -> np.ndarray:
+    words = _WORD.findall(text.lower())
+    if len(words) < n:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64, count=len(grams))
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    sh = _shingles(text)
+    # (a*x + b) mod p for all perms at once: (n_sh, n_perm)
+    vals = (sh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def minhash_bands_batch(batch: pa.Table) -> pa.Table:
+    """doc -> N_BANDS rows of (band_id, band_hash, doc_id): the explode
+    step before the LSH groupby shuffle."""
+    doc_ids, band_ids, band_hashes = [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        sig = minhash_signature(text)
+        for b in range(N_BANDS):
+            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            doc_ids.append(doc_id)
+            band_ids.append(b)
+            band_hashes.append(h)
+    return pa.Table.from_pydict(
+        {
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.string()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+        }
+    )
+
+
+def q_minhash_candidates(sf_dir: str):
+    """LSH candidate pairs: shingle -> minhash -> band -> groupby(band) ->
+    within-bucket pairs.  The groupby key (band_id, band_hash) is
+    uniformly distributed; bucket sizes bound reduce skew."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    pairs = (
+        ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedup candidate pairs discovered in multiple bands
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for w in _WORD.findall(text.lower()):
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (hamming-banded near-dup key)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sh(t: pa.Table) -> pa.Table:
+        vals = [simhash64(x) for x in t.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "simhash": pa.array([v - (1 << 63) for v in vals], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sh, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.95):
+    """Pairs of embeddings with cosine >= threshold.
+
+    Baseline path: normalized matrix broadcast via ray.put; each batch
+    computes its block of the similarity matrix (blocked matmul) and
+    emits qualifying pairs — O(n^2/B) per task, no shuffle.  The IVF
+    variant in ``similarity.py`` is the scale path."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids, mat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def block(t: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        q_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        q = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = q @ all_mat.T
+        qi, ai = np.where(sims >= threshold)
+        keep = q_ids[qi] < all_ids[ai]  # each pair once, a < b
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(q_ids[qi][keep], type=pa.int64()),
+                "vec_b": pa.array(all_ids[ai][keep], type=pa.int64()),
+                "cosine": pa.array(np.round(sims[qi, ai][keep], 4), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(block, batch_format="pyarrow", batch_size=1024).sort(["vec_a", "vec_b"])

@@ -1,0 +1,130 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language ID, fingerprinting.
+
+All are vectorized ``map_batches`` stages; the SQL-expressible ones have
+DuckDB oracles in ``__ray_entry__`` (same regexes, same rounding)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD = re.compile(r"[A-Za-z0-9]+")
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+_STOP_SET = frozenset(STOPWORDS)
+
+# tiny per-language marker sets for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that"},
+    "es": {"el", "la", "de", "que", "y", "los", "una"},
+    "de": {"der", "die", "und", "das", "nicht", "ist", "ein"},
+    "fr": {"le", "la", "les", "des", "est", "une", "dans"},
+}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, n_chars, stop_ratio (rounded 4dp)."""
+    texts = batch.column("text").to_pylist()
+    n_tokens, stop_ratio = [], []
+    for t in texts:
+        words = _WORD.findall(t)
+        n = len(words)
+        n_tokens.append(n)
+        stops = sum(1 for w in words if w.lower() in _STOP_SET)
+        stop_ratio.append(round(stops / max(n, 1), 4))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint (md5 here; swap for a rolling hash at will)."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch.column("text").to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, type=pa.string())}
+    )
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word language heuristic; 'und' when nothing matches."""
+    texts = batch.column("text").to_pylist()
+    langs = []
+    for t in texts:
+        words = set(w.lower() for w in _WORD.findall(t))
+        best, best_n = "und", 0
+        for lang, markers in sorted(_LANG_MARKERS.items()):
+            n = len(words & markers)
+            if n > best_n:
+                best, best_n = lang, n
+        langs.append(best)
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(langs, type=pa.string())}
+    )
+
+
+def token_partial_counts(batch: pa.Table) -> pa.Table:
+    """Combiner for global token frequency: per-batch counts."""
+    import polars as pl
+
+    counts: dict[str, int] = {}
+    for t in batch.column("text").to_pylist():
+        for w in _WORD.findall(t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    return pl.DataFrame(
+        {"token": list(counts.keys()), "n": list(counts.values())}
+    ).cast({"n": pl.Int64}).to_arrow()
+
+
+def q_doc_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(token_stats_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def q_langid_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(langid_batch, batch_format="pyarrow")
+        .groupby("pred_lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .sort("pred_lang")
+    )
+
+
+def q_token_topk(sf_dir: str, k: int = 20):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )

@@ -212,7 +212,7 @@ def compile_dictionaries(out_dir: str, source_df: pd.DataFrame | None = None) ->
             _ResolveGroup,
             fn_constructor_args=(labels_by_idx,),
             batch_format="pandas",
-            concurrency=2,
+            concurrency=(1, 2),
         )
     )
     batches = [

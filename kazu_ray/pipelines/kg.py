@@ -59,14 +59,21 @@ def prefilter_batch(batch):
 
 def annotate(docs_ds, dicts: CompiledDicts, *, ner_concurrency=4, post_concurrency=4,
              batch_size=256):
-    """docs Dataset -> docs Dataset with final ``entities`` column."""
+    """docs Dataset -> docs Dataset with final ``entities`` column.
+
+    Both stateful stages are autoscaling actor pools (min 1) so they can
+    never reserve every cluster CPU and starve the read/shuffle tasks.
+    """
+    def _pool(c):
+        return (1, c) if isinstance(c, int) else c
+
     ds = docs_ds.map_batches(prefilter_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         DictionaryNer,
         fn_constructor_args=(dicts.curations_path, dicts.synonyms_path),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=ner_concurrency,
+        concurrency=_pool(ner_concurrency),
         num_cpus=1,
     )
     ds = ds.map_batches(
@@ -74,7 +81,7 @@ def annotate(docs_ds, dicts: CompiledDicts, *, ner_concurrency=4, post_concurren
         fn_constructor_args=(dicts.synonyms_path, dicts.metadata_path),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=post_concurrency,
+        concurrency=_pool(post_concurrency),
         num_cpus=1,
     )
     return ds
@@ -123,9 +130,14 @@ def run_partitioned(
                 continue
         t0 = time.perf_counter()
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        part_ds = ds.filter(
-            expr=f"doc_id % {num_partitions} == {part}"
-        ) if num_partitions > 1 else ds
+        if num_partitions > 1:
+            def _select_part(t, part=part, n=num_partitions):
+                mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], n), n))
+                return t.filter(pc.equal(mod, part))
+
+            part_ds = ds.map_batches(_select_part, batch_format="pyarrow")
+        else:
+            part_ds = ds
         docs = part_ds.map_batches(interleave_batch, batch_format="pyarrow")
         annotated = annotate(
             docs, dicts, ner_concurrency=ner_concurrency, post_concurrency=post_concurrency

@@ -1,0 +1,245 @@
+"""General relational operators over the TPC-H-ish driver tables.
+
+The KG pipeline is the flagship, but the engine's primitives — pruned
+parquet reads, vectorized filter/project, partial+final aggregation,
+broadcast hash joins, partitioned hash joins, sort/top-k, distinct — are
+exposed here as standalone query functions.  Each has a DuckDB oracle in
+``__ray_entry__.oracle_sql`` (driver correctness gate).
+
+Conventions for oracle hash-parity:
+- every aggregate column is explicitly named identically on both sides;
+- float aggregates are rounded to a fixed precision on both sides;
+- integer sums are cast to int64 on both sides (DuckDB SUM(BIGINT)
+  returns HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped: pruned read -> vectorized filter -> grouped agg."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty",
+                         pc.round(t["sum_qty"], 2))
+        t = t.set_column(t.schema.get_field_index("sum_revenue"), "sum_revenue",
+                         pc.round(t["sum_revenue"], 2))
+        t = t.set_column(t.schema.get_field_index("avg_disc"), "avg_disc",
+                         pc.round(t["avg_disc"], 4))
+        return t
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_orders_topk(sf_dir: str):
+    """Top-10 orders by revenue: partial per-batch agg -> groupby -> sort/limit."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
+            )
+            .group_by("l_orderkey")
+            .agg(pl.col("rev").sum())
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Stream-shaped tumbling window: group by (event_type, hour bucket)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
+        hour = pc.divide(epoch, pa.scalar(3_600_000_000))
+        return t.append_column("hour_bucket", hour).drop_columns(["ts"])
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort(["event_type", "hour_bucket"])
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 3)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_distinct_flags(sf_dir: str):
+    """Distinct pairs (exact dedup on a composite key via groupby)."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    )
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def q_region_customer_counts(sf_dir: str):
+    """Broadcast hash join: region ⋈ nation (driver-side, tiny) broadcast
+    into a map_batches over customer (the large side never shuffles)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nation_to_region = {
+        nk: rmap[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([nation_to_region.get(int(k)) for k in keys], type=pa.string())
+        return pa.Table.from_arrays([names], names=["region_name"])
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("region_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .sort("region_name")
+    )
+
+
+def q_customer_order_join(sf_dir: str):
+    """Partitioned hash join (both sides large): customer ⋈ orders on
+    custkey, then revenue per market segment."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_price"),
+        )
+        .sort("c_mktsegment")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_price"), "total_price",
+            pc.round(t["total_price"], 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_part_semi_join(sf_dir: str):
+    """Broadcast semi-join: lineitems whose part is BRASS-ish; counts by
+    brand.  Small key set broadcast as a python set inside map_batches."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_brand"])
+    mask = pc.match_substring(part["p_type"], "BRASS")
+    keep = part.filter(mask)
+    keys = dict(zip(keep["p_partkey"].to_pylist(), keep["p_brand"].to_pylist()))
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_pylist()
+        brands = [keys.get(k) for k in pk]
+        arr = pa.array(brands, type=pa.string())
+        tbl = pa.Table.from_arrays([arr], names=["p_brand"])
+        return tbl.filter(pc.is_valid(tbl["p_brand"]))
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_items"))
+        .sort("p_brand")
+    )
