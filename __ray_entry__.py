@@ -227,17 +227,16 @@ def oracle_sql() -> dict[str, str]:
         "part_semi_join": """
             SELECT p.p_brand, COUNT(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-            WHERE p.p_type LIKE '%BRASS%'
+            WHERE p.p_type LIKE '%PROMO%'
             GROUP BY 1 ORDER BY 1
         """,
         "doc_token_stats": f"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars,
-                   ROUND(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                                              w -> w IN {_STOPLIST_SQL})) AS DOUBLE)
-                         / GREATEST(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1),
-                         4) AS stop_ratio
+                   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                        w -> w IN {_STOPLIST_SQL})) AS DOUBLE)
+                       / GREATEST(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS stop_ratio
             FROM documents ORDER BY doc_id
         """,
         "doc_fingerprint": """
@@ -283,11 +282,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id < 120
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   ROUND(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                         / len(list_distinct(a.ws || b.ws)), 4) AS jaccard
+                   CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                       / len(list_distinct(a.ws || b.ws)) AS jaccard
             FROM w a JOIN w b ON a.doc_id < b.doc_id
-            WHERE ROUND(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                        / len(list_distinct(a.ws || b.ws)), 4) >= 0.8
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                      / len(list_distinct(a.ws || b.ws)) >= 0.8
             ORDER BY 1, 2
         """,
         "ann_topk": """
@@ -311,7 +310,7 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(b.embedding AS DOUBLE[])), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.95
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
             ORDER BY 1, 2
         """,
     }

@@ -91,10 +91,11 @@ def q_jaccard_pairs(sf_dir: str, limit_docs: int = 120, threshold: float = 0.8):
             inter = len(a_set & b_set)
             union = len(a_set | b_set)
             jac = inter / union if union else 0.0
-            if round(jac, 4) >= threshold:
+            # unrounded: single IEEE division, bit-identical to the oracle
+            if jac >= threshold:
                 out_a.append(a_id)
                 out_b.append(b_id)
-                out_j.append(round(jac, 4))
+                out_j.append(jac)
     import ray.data as rd2
 
     return rd2.from_arrow(
@@ -238,7 +239,7 @@ def q_simhash(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.95):
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.35):
     """Pairs of embeddings with cosine >= threshold.
 
     Baseline path: normalized matrix broadcast via ray.put; each batch
@@ -266,11 +267,15 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.95):
         sims = q @ all_mat.T
         qi, ai = np.where(sims >= threshold)
         keep = q_ids[qi] < all_ids[ai]  # each pair once, a < b
+        from ..functions.rounding import round_half_away
+
         return pa.Table.from_pydict(
             {
                 "vec_a": pa.array(q_ids[qi][keep], type=pa.int64()),
                 "vec_b": pa.array(all_ids[ai][keep], type=pa.int64()),
-                "cosine": pa.array(np.round(sims[qi, ai][keep], 4), type=pa.float64()),
+                "cosine": pa.array(
+                    round_half_away(sims[qi, ai][keep], 4), type=pa.float64()
+                ),
             }
         )
 

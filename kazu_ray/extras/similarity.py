@@ -69,7 +69,9 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
         .head(k)
         .reset_index(drop=True)
     )
-    out["cosine"] = out["cosine"].round(4)
+    from ..functions.rounding import round_half_away
+
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(), 4)
     import ray.data as rd2
 
     return rd2.from_pandas(out)

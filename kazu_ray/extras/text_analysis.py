@@ -34,7 +34,9 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
         n = len(words)
         n_tokens.append(n)
         stops = sum(1 for w in words if w.lower() in _STOP_SET)
-        stop_ratio.append(round(stops / max(n, 1), 4))
+        # single IEEE division, bit-identical to the DuckDB oracle — no
+        # rounding (round() is banker's, SQL ROUND is half-away)
+        stop_ratio.append(stops / max(n, 1))
     return pa.Table.from_pydict(
         {
             "doc_id": batch.column("doc_id"),

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .functions.rounding import pc_round_sql
+
 
 def _rd():
     import ray.data as rd
@@ -60,11 +62,11 @@ def q_lineitem_agg(sf_dir: str):
 
     def final(t: pa.Table) -> pa.Table:
         t = t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty",
-                         pc.round(t["sum_qty"], 2))
+                         pc_round_sql(t["sum_qty"], 2))
         t = t.set_column(t.schema.get_field_index("sum_revenue"), "sum_revenue",
-                         pc.round(t["sum_revenue"], 2))
+                         pc_round_sql(t["sum_revenue"], 2))
         t = t.set_column(t.schema.get_field_index("avg_disc"), "avg_disc",
-                         pc.round(t["avg_disc"], 4))
+                         pc_round_sql(t["avg_disc"], 4))
         return t
 
     return out.map_batches(final, batch_format="pyarrow")
@@ -101,7 +103,7 @@ def q_orders_topk(sf_dir: str):
     )
     return out.map_batches(
         lambda t: t.set_column(
-            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], 2)
+            t.schema.get_field_index("revenue"), "revenue", pc_round_sql(t["revenue"], 2)
         ),
         batch_format="pyarrow",
     )
@@ -128,7 +130,7 @@ def q_events_hourly(sf_dir: str):
     )
     return out.map_batches(
         lambda t: t.set_column(
-            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 3)
+            t.schema.get_field_index("sum_value"), "sum_value", pc_round_sql(t["sum_value"], 3)
         ),
         batch_format="pyarrow",
     )
@@ -211,7 +213,7 @@ def q_customer_order_join(sf_dir: str):
     return out.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index("total_price"), "total_price",
-            pc.round(t["total_price"], 2),
+            pc_round_sql(t["total_price"], 2),
         ),
         batch_format="pyarrow",
     )
@@ -224,7 +226,7 @@ def q_part_semi_join(sf_dir: str):
     from ray.data.aggregate import Count
 
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_brand"])
-    mask = pc.match_substring(part["p_type"], "BRASS")
+    mask = pc.match_substring(part["p_type"], "PROMO")
     keep = part.filter(mask)
     keys = dict(zip(keep["p_partkey"].to_pylist(), keep["p_brand"].to_pylist()))
 
