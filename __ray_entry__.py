@@ -38,7 +38,7 @@ def _kg_edges(sf_dir: str):
     from kazu_ray.sources.interleave import interleaved_docs
 
     ann = annotate(interleaved_docs(sf_dir), _dicts())
-    edges, _nodes = build_graph(ann)
+    edges, _nodes = build_graph(ann, _dicts())
     return edges.sort(["subj", "pred", "obj"])
 
 
@@ -47,7 +47,7 @@ def _kg_nodes(sf_dir: str):
     from kazu_ray.sources.interleave import interleaved_docs
 
     ann = annotate(interleaved_docs(sf_dir), _dicts())
-    _edges, nodes = build_graph(ann)
+    _edges, nodes = build_graph(ann, _dicts())
     return nodes.sort("curie")
 
 

@@ -1,0 +1,128 @@
+"""Benchmark driver: headline KG pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same input and reports both
+throughputs plus scaling efficiency — the sandbox stand-in for the
+north rule's N vs 4N cluster sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus amplifier: each base document row yields REPEAT distinct
+# interleaved documents (deterministic), so the headline measures
+# compute/shuffle, not fixed session overhead
+REPEAT = int(os.environ.get("GRAFT_REPEAT", "10"))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from kazu_ray.pipelines.kg import annotate, build_graph
+    from kazu_ray.sources.interleave import interleaved_docs
+
+    # warm the page cache (untimed): one full read of the inputs
+    for t in ("documents", "lineitem", "orders", "customer", "events", "embeddings"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    dicts = entrymod._dicts()
+    n_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").count() * REPEAT
+
+    def kg():
+        ann = annotate(
+            interleaved_docs(SF_DIR, repeat=REPEAT), dicts,
+            ner_concurrency=NUM_CPUS, post_concurrency=NUM_CPUS,
+        )
+        edges, nodes = build_graph(ann, dicts)
+        # consume both streams fully
+        edges.count()
+        nodes.count()
+
+    headline = _timed(kg)
+
+    queries = {"kg_pipeline": headline}
+    q = entrymod.queries()
+    for name in ("lineitem_agg", "customer_order_join", "orders_topk",
+                 "token_topk", "exact_dedup", "minhash_candidates",
+                 "ann_topk", "embedding_neardup", "doc_token_stats"):
+        try:
+            queries[name] = _timed(lambda n=name: q[n](SF_DIR).count())
+        except Exception as exc:  # record, don't die
+            queries[name] = f"error: {exc}"
+
+    result = {
+        "metric": "kg_pipeline_sec_sf" + SF_DIR.rsplit("sf", 1)[-1],
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["docs_per_sec"]
+    tput_hi = hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "kg_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": tput_lo,
+        "docs_per_sec_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -29,7 +29,7 @@ import time
 from ..ontology.compile import CompiledDicts
 from ..stages.dict_ner import DictionaryNer
 from ..stages.doc_post import DocPostProcessor
-from ..stages.triples import canonicalize_edges, canonicalize_nodes, emit_triples_batch
+from ..stages.triples import canonicalize_edges, emit_triples_batch, nodes_from_edges
 
 # prefilter guard, reference pipeline.py:138-155 (skip_doc_len)
 MAX_DOC_CHARS = 200_000
@@ -87,11 +87,17 @@ def annotate(docs_ds, dicts: CompiledDicts, *, ner_concurrency=4, post_concurren
     return ds
 
 
-def build_graph(annotated_ds):
-    """annotated docs -> (edges Dataset, nodes Dataset)."""
+def build_graph(annotated_ds, dicts: CompiledDicts):
+    """annotated docs -> (edges Dataset [materialized, small], nodes Dataset).
+
+    Single pass over the corpus: edges are canonicalized and materialized
+    (their size is bounded by distinct triples, not by corpus size), and
+    the node table is derived from them + the metadata side table, so the
+    document stream is consumed exactly once.
+    """
     triples = annotated_ds.map_batches(emit_triples_batch, batch_format="pyarrow")
-    edges = canonicalize_edges(triples)
-    nodes = canonicalize_nodes(annotated_ds)
+    edges = canonicalize_edges(triples).materialize()
+    nodes = nodes_from_edges(edges, dicts.metadata_path)
     return edges, nodes
 
 
@@ -142,11 +148,10 @@ def run_partitioned(
         annotated = annotate(
             docs, dicts, ner_concurrency=ner_concurrency, post_concurrency=post_concurrency
         )
-        edges, nodes = build_graph(annotated)
+        edges, nodes = build_graph(annotated, dicts)
         edges_path = os.path.join(out_dir, "edges", f"part={part}")
         nodes_path = os.path.join(out_dir, "nodes", f"part={part}")
-        edges = edges.materialize()
-        n_edges = edges.count()
+        n_edges = edges.count()  # already materialized by build_graph
         edges.write_parquet(edges_path)
         nodes = nodes.materialize()
         n_nodes = nodes.count()

@@ -186,11 +186,20 @@ def build_doc(doc_id_int: int, filler_text: str) -> tuple[dict, list[dict]]:
     return {"doc_id": doc_id, "spans": b.spans}, b.goldens
 
 
-def interleave_batch(batch: pa.Table) -> pa.Table:
-    """map_batches UDF: documents(doc_id:int64, text) -> interleaved docs."""
+def interleave_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    """map_batches UDF: documents(doc_id:int64, text) -> interleaved docs.
+
+    ``repeat`` > 1 synthesizes ``repeat`` distinct documents per input
+    row (deterministic doc_id = base*repeat + r) — the corpus-scale
+    amplifier used by the benchmark to stand in for the 10^12-doc corpus.
+    """
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
-    rows = [build_doc(i, t)[0] for i, t in zip(doc_ids, texts)]
+    rows = [
+        build_doc(i * repeat + r, t)[0]
+        for i, t in zip(doc_ids, texts)
+        for r in range(repeat)
+    ]
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
@@ -201,14 +210,16 @@ def golden_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=GOLDEN_SCHEMA)
 
 
-def interleaved_docs(sf_dir: str, parallelism: int | None = None):
+def interleaved_docs(sf_dir: str, parallelism: int | None = None, repeat: int = 1):
     """documents.parquet -> Dataset[DOCS_SCHEMA], streaming transform."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if parallelism:
         ds = ds.repartition(parallelism)
-    return ds.map_batches(interleave_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        interleave_batch, batch_format="pyarrow", fn_kwargs={"repeat": repeat}
+    )
 
 
 def golden_annotations(sf_dir: str):

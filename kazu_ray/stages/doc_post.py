@@ -246,7 +246,7 @@ class MappingCascade:
         rec: SynRecord,
         entity: dict,
         doc_mapped_ids: set[str],
-        doc_context: str,
+        ctx_vec,
     ) -> _Resolution | None:
         sets = rec.assoc_sets
         # 1. DefinedElsewhereInDocument (disambiguation/strategies.py:100-149)
@@ -256,8 +256,7 @@ class MappingCascade:
         # 2. context-similarity (stand-in for TfIdfDisambiguationStrategy
         #    :152-269; threshold 0.70, same shape: doc context vs per-set
         #    label vectors)
-        if doc_context:
-            ctx_vec = self.embedder.encode(doc_context[:2000])
+        if ctx_vec is not None:
             scored = []
             for s in sets:
                 labels = [
@@ -293,7 +292,6 @@ class MappingCascade:
         return None
 
     def run(self, spans: list[dict], entities: list[dict]) -> None:
-        doc_context = " ".join(sp["text"] for sp in spans if sp["text"])
         doc_mapped_ids: set[str] = set()
         ambiguous: list[tuple[dict, SynRecord]] = []
 
@@ -313,9 +311,15 @@ class MappingCascade:
                 e["mappings"] = e["mappings"] + mappings
                 doc_mapped_ids.update(m["idx"] for m in mappings)
 
-        # pass 2: disambiguate against document state
+        # pass 2: disambiguate against document state (doc context vector
+        # computed once per doc, only if anything ambiguous remains)
+        ctx_vec = None
+        if ambiguous:
+            doc_context = " ".join(sp["text"] for sp in spans if sp["text"])
+            if doc_context:
+                ctx_vec = self.embedder.encode(doc_context[:2000])
         for e, rec in ambiguous:
-            res = self._disambiguate(rec, e, doc_mapped_ids, doc_context)
+            res = self._disambiguate(rec, e, doc_mapped_ids, ctx_vec)
             if res is None:
                 # all candidate ids kept, flagged AMBIGUOUS -> cleanup drops
                 all_ids = frozenset(rec.all_ids())

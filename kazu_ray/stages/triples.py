@@ -84,28 +84,39 @@ def canonicalize_edges(triples_ds):
     )
 
 
-def emit_nodes_batch(batch: pa.Table) -> pa.Table:
-    """doc rows -> distinct (curie, source, default_label) partials."""
-    ents_col = batch.column("entities").to_pylist()
-    seen: dict[str, tuple[str, str]] = {}
-    for ents in ents_col:
-        for e in ents:
-            for m in e["mappings"]:
-                seen.setdefault(m["idx"], (m["source"], m["default_label"]))
-    return pa.Table.from_pydict(
-        {
-            "curie": list(seen.keys()),
-            "source": [v[0] for v in seen.values()],
-            "default_label": [v[1] for v in seen.values()],
-        }
-    )
+def nodes_from_edges(edges_ds, metadata_path: str):
+    """Canonical node table derived from the (small) canonical edges plus
+    the broadcast metadata side table — avoids a second pass over the
+    full document corpus (every grounded CURIE appears in some edge)."""
+    import ray.data as rd
 
+    from ..state.side_tables import load_metadata
 
-def canonicalize_nodes(docs_ds):
-    from ray.data.aggregate import Max
+    meta = load_metadata(metadata_path)
+    by_idx = {idx: m for (_parser, idx), m in meta.items()}
 
-    partial = docs_ds.map_batches(emit_nodes_batch, batch_format="pyarrow")
-    return partial.groupby("curie").aggregate(
-        Max("source", alias_name="source"),
-        Max("default_label", alias_name="default_label"),
+    curies: set[str] = set()
+    for batch in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for col, pred_filter in (("obj", None), ("subj", PRED_CO_OCCURS)):
+            vals = batch.column(col).to_pylist()
+            preds = batch.column("pred").to_pylist()
+            for v, p in zip(vals, preds):
+                if pred_filter is None or p == pred_filter:
+                    curies.add(v)
+    curies = {c for c in curies if not c.startswith("MENTION:")}
+    rows = sorted(curies)
+
+    def source_of(c: str) -> str:
+        from ..ontology.synth import find_kb
+
+        return find_kb(c)
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "curie": rows,
+                "source": [source_of(c) for c in rows],
+                "default_label": [by_idx.get(c, {}).get("default_label", "") for c in rows],
+            }
+        )
     )

@@ -25,7 +25,7 @@ def test_triple_precision_recall(annotated, compiled_dicts):
     from kazu_ray.pipelines.kg import build_graph
     from kazu_ray.sources.interleave import golden_triples_table
 
-    edges, nodes = build_graph(annotated)
+    edges, nodes = build_graph(annotated, compiled_dicts)
     e = edges.to_pandas()
     golden = golden_triples_table(SF).to_pandas()
     got = set(zip(e.subj, e.pred, e.obj))
