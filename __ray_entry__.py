@@ -34,21 +34,22 @@ def _dicts():
 
 
 def _kg_edges(sf_dir: str):
-    from kazu_ray.pipelines.kg import annotate, build_graph
+    from kazu_ray.pipelines.kg import edges_pipeline
     from kazu_ray.sources.interleave import interleaved_docs
 
-    ann = annotate(interleaved_docs(sf_dir), _dicts())
-    edges, _nodes = build_graph(ann, _dicts())
-    return edges.sort(["subj", "pred", "obj"])
+    return edges_pipeline(interleaved_docs(sf_dir), _dicts()).sort(
+        ["subj", "pred", "obj"]
+    )
 
 
 def _kg_nodes(sf_dir: str):
-    from kazu_ray.pipelines.kg import annotate, build_graph
+    from kazu_ray.pipelines.kg import edges_pipeline
+    from kazu_ray.stages.triples import nodes_from_edges
+
     from kazu_ray.sources.interleave import interleaved_docs
 
-    ann = annotate(interleaved_docs(sf_dir), _dicts())
-    _edges, nodes = build_graph(ann, _dicts())
-    return nodes.sort("curie")
+    edges = edges_pipeline(interleaved_docs(sf_dir), _dicts()).materialize()
+    return nodes_from_edges(edges, _dicts().metadata_path).sort("curie")
 
 
 def _kg_eval(sf_dir: str):

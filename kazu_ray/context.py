@@ -1,0 +1,18 @@
+"""DataContext tuning shared by the pipeline entry points.
+
+Safe, workload-independent knobs only; callers own ray.init()."""
+
+from __future__ import annotations
+
+
+def tune_context():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    # polars block sort is markedly faster than the default pyarrow path
+    # for the string-keyed canonicalization shuffle
+    ctx.use_polars_sort = True
+    # output order is never semantically meaningful in this engine
+    # (edges/nodes are sets; queries sort explicitly when they need order)
+    ctx.execution_options.preserve_order = False
+    return ctx

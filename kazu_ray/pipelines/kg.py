@@ -87,6 +87,71 @@ def annotate(docs_ds, dicts: CompiledDicts, *, ner_concurrency=4, post_concurren
     return ds
 
 
+class AnnotateEmitTriples:
+    """Fused actor-pool UDF for the edges-only flagship path: dictionary
+    NER + doc-local post-processing + triple emission in ONE pool.
+
+    One Arrow decode per doc row, python dicts flow between the fused
+    steps in-memory, and only the (small) triple columns are re-encoded —
+    no nested ``entities`` column round-trips through the object store.
+    The conceptual stages are the same classes used by ``annotate()``.
+    """
+
+    def __init__(self, curations_path: str, synonyms_path: str, metadata_path: str):
+        self.ner = DictionaryNer(curations_path, synonyms_path)
+        self.post = DocPostProcessor(synonyms_path, metadata_path)
+
+    def __call__(self, batch):
+        from ..functions.tokens import tokenize
+        from ..stages.triples import doc_triples, new_triple_columns, triple_columns_to_table
+
+        out = new_triple_columns()
+        errors = (
+            batch.column("error").to_pylist()
+            if "error" in batch.schema.names
+            else [None] * len(batch)
+        )
+        for doc_id, spans, err in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist(), errors
+        ):
+            if err is not None:
+                continue  # dead-letter doc: emits nothing
+            ents = []
+            span_toks = {}
+            for idx, sp in enumerate(spans):
+                if sp["text"]:
+                    toks = tokenize(sp["text"])
+                    span_toks[idx] = toks
+                    ents.extend(self.ner.match_span_text(sp["text"], idx, toks))
+            final = self.post.process_doc(
+                spans, ents, span_toks=span_toks, copy_entities=False
+            )
+            doc_triples(doc_id, final, out)
+        return triple_columns_to_table(out)
+
+
+def edges_pipeline(docs_ds, dicts: CompiledDicts, *, concurrency=4, batch_size=256):
+    """docs -> canonical edges Dataset, fully fused single-pool path.
+
+    ``batch_size`` counts input rows of ``docs_ds``; pick it so one batch
+    is ~0.2-0.5s of actor work (too small → scheduler-bound, too large →
+    pool starves at the tail).  If an upstream generator expands rows
+    (corpus repeat amplifier), materialize it first or lower batch_size."""
+    from ..context import tune_context
+
+    tune_context()
+    ds = docs_ds.map_batches(prefilter_batch, batch_format="pyarrow")
+    triples = ds.map_batches(
+        AnnotateEmitTriples,
+        fn_constructor_args=(dicts.curations_path, dicts.synonyms_path, dicts.metadata_path),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        num_cpus=1,
+    )
+    return canonicalize_edges(triples)
+
+
 def build_graph(annotated_ds, dicts: CompiledDicts):
     """annotated docs -> (edges Dataset [materialized, small], nodes Dataset).
 
@@ -145,10 +210,8 @@ def run_partitioned(
         else:
             part_ds = ds
         docs = part_ds.map_batches(interleave_batch, batch_format="pyarrow")
-        annotated = annotate(
-            docs, dicts, ner_concurrency=ner_concurrency, post_concurrency=post_concurrency
-        )
-        edges, nodes = build_graph(annotated, dicts)
+        edges = edges_pipeline(docs, dicts, concurrency=ner_concurrency).materialize()
+        nodes = nodes_from_edges(edges, dicts.metadata_path)
         edges_path = os.path.join(out_dir, "edges", f"part={part}")
         nodes_path = os.path.join(out_dir, "nodes", f"part={part}")
         n_edges = edges.count()  # already materialized by build_graph

@@ -38,8 +38,9 @@ class DictionaryNer:
         self.table = load_match_table(curations_path)
         self.synonyms = load_synonyms(synonyms_path)
 
-    def match_span_text(self, text: str, span_idx: int) -> list[dict]:
-        toks = tokenize(text)
+    def match_span_text(self, text: str, span_idx: int, toks=None) -> list[dict]:
+        if toks is None:
+            toks = tokenize(text)
         lowered = [t.text.lower() for t in toks]
         n_toks = len(toks)
         by_surface = self.table.by_surface
@@ -101,12 +102,18 @@ class DictionaryNer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch.column("spans").to_pylist()
+        errors = (
+            batch.column("error").to_pylist()
+            if "error" in batch.schema.names
+            else [None] * len(batch)
+        )
         entities_per_doc: list[list[dict]] = []
-        for spans in spans_col:
+        for spans, err in zip(spans_col, errors):
             ents: list[dict] = []
-            for span_idx, span in enumerate(spans):
-                if span["text"]:
-                    ents.extend(self.match_span_text(span["text"], span_idx))
+            if err is None:
+                for span_idx, span in enumerate(spans):
+                    if span["text"]:
+                        ents.extend(self.match_span_text(span["text"], span_idx))
             entities_per_doc.append(ents)
         ents_arr = pa.array(entities_per_doc, type=ENTITIES_COLUMN)
         if "entities" in batch.schema.names:

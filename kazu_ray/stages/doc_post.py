@@ -139,17 +139,19 @@ def find_abbreviation_definitions(
     return out
 
 
-def expand_abbreviations(spans: list[dict], entities: list[dict]) -> list[dict]:
+def expand_abbreviations(
+    spans: list[dict], entities: list[dict], span_toks: dict[int, list[Token]] | None = None
+) -> list[dict]:
     """Document-wide abbreviation override (reference
     KazuAbbreviationDetector.__call__:263-286): for each detected
     definition whose long form is an entity, every occurrence of the
     short form anywhere in the document replaces its local entities with
     copies of the long-form entities."""
-    # tokenize text spans once
-    span_toks: dict[int, list[Token]] = {}
-    for i, sp in enumerate(spans):
-        if sp["text"]:
-            span_toks[i] = tokenize(sp["text"])
+    # tokenize text spans once (or reuse the NER stage's tokens)
+    if span_toks is None:
+        span_toks = {
+            i: tokenize(sp["text"]) for i, sp in enumerate(spans) if sp["text"]
+        }
 
     # index entities by (span_idx, start, end)
     ents_at: dict[tuple[int, int, int], list[dict]] = {}
@@ -414,9 +416,16 @@ class DocPostProcessor:
         self.embedder = HashedNgramEmbedder()
         self.cascade = MappingCascade(self.synonyms, self.metadata, self.embedder)
 
-    def process_doc(self, spans: list[dict], entities: list[dict]) -> list[dict]:
-        entities = [dict(e) for e in entities]
-        entities = expand_abbreviations(spans, entities)
+    def process_doc(
+        self,
+        spans: list[dict],
+        entities: list[dict],
+        span_toks: dict[int, list[Token]] | None = None,
+        copy_entities: bool = True,
+    ) -> list[dict]:
+        if copy_entities:  # callers that keep the input entity dicts
+            entities = [dict(e) for e in entities]
+        entities = expand_abbreviations(spans, entities, span_toks)
         self.cascade.run(spans, entities)
         entities = cleanup_entities(entities)
         entities = merge_overlapping(entities)

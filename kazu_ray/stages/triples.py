@@ -19,62 +19,80 @@ from ..constants import PRED_CO_OCCURS, PRED_MAPS_TO, PRED_MENTIONS
 from ..schemas import TRIPLES_SCHEMA
 
 
-def emit_triples_batch(batch: pa.Table) -> pa.Table:
-    """map_batches UDF: doc rows (with final ``entities``) -> triple rows.
+def doc_triples(doc_id: str, ents: list[dict], out: dict) -> None:
+    """Append one document's triples to the column accumulator ``out``.
 
     Emitted per document (reference north-star semantics):
       (doc_id,            mentions,  <curie>)   per distinct grounded curie
       (MENTION:<norm>,    maps-to,   <curie>)   per distinct (match_norm, curie)
       (<curie_a>,         co-occurs, <curie_b>) per distinct pair, a < b
     """
-    doc_ids = batch.column("doc_id").to_pylist()
-    ents_col = batch.column("entities").to_pylist()
-    subj, pred, obj, tdoc, conf = [], [], [], [], []
-    for doc_id, ents in zip(doc_ids, ents_col):
-        curie_conf: dict[str, int] = {}
-        maps_to: set[tuple[str, str]] = set()
-        for e in ents:
-            for m in e["mappings"]:
-                c = m["idx"]
-                curie_conf[c] = max(curie_conf.get(c, 0), e["mention_confidence"])
-                maps_to.add((f"MENTION:{e['match_norm']}", c))
-        curies = sorted(curie_conf)
-        for c in curies:
-            subj.append(doc_id); pred.append(PRED_MENTIONS); obj.append(c)
-            tdoc.append(doc_id); conf.append(curie_conf[c])
-        for s, c in sorted(maps_to):
-            subj.append(s); pred.append(PRED_MAPS_TO); obj.append(c)
-            tdoc.append(doc_id); conf.append(curie_conf[c])
-        for i in range(len(curies)):
-            for j in range(i + 1, len(curies)):
-                subj.append(curies[i]); pred.append(PRED_CO_OCCURS); obj.append(curies[j])
-                tdoc.append(doc_id)
-                conf.append(min(curie_conf[curies[i]], curie_conf[curies[j]]))
-    return pa.Table.from_pydict(
-        {"subj": subj, "pred": pred, "obj": obj, "doc_id": tdoc, "confidence": conf},
-        schema=TRIPLES_SCHEMA,
-    )
+    subj, pred, obj = out["subj"], out["pred"], out["obj"]
+    tdoc, conf = out["doc_id"], out["confidence"]
+    curie_conf: dict[str, int] = {}
+    maps_to: set[tuple[str, str]] = set()
+    for e in ents:
+        for m in e["mappings"]:
+            c = m["idx"]
+            curie_conf[c] = max(curie_conf.get(c, 0), e["mention_confidence"])
+            maps_to.add((f"MENTION:{e['match_norm']}", c))
+    curies = sorted(curie_conf)
+    for c in curies:
+        subj.append(doc_id); pred.append(PRED_MENTIONS); obj.append(c)
+        tdoc.append(doc_id); conf.append(curie_conf[c])
+    for s, c in sorted(maps_to):
+        subj.append(s); pred.append(PRED_MAPS_TO); obj.append(c)
+        tdoc.append(doc_id); conf.append(curie_conf[c])
+    for i in range(len(curies)):
+        for j in range(i + 1, len(curies)):
+            subj.append(curies[i]); pred.append(PRED_CO_OCCURS); obj.append(curies[j])
+            tdoc.append(doc_id)
+            conf.append(min(curie_conf[curies[i]], curie_conf[curies[j]]))
+
+
+def new_triple_columns() -> dict:
+    return {"subj": [], "pred": [], "obj": [], "doc_id": [], "confidence": []}
+
+
+def triple_columns_to_table(out: dict) -> pa.Table:
+    return pa.Table.from_pydict(out, schema=TRIPLES_SCHEMA)
+
+
+def emit_triples_batch(batch: pa.Table) -> pa.Table:
+    """map_batches UDF: doc rows (with final ``entities``) -> triple rows."""
+    out = new_triple_columns()
+    for doc_id, ents in zip(
+        batch.column("doc_id").to_pylist(), batch.column("entities").to_pylist()
+    ):
+        doc_triples(doc_id, ents, out)
+    return triple_columns_to_table(out)
 
 
 def partial_edge_agg(batch: pa.Table) -> pa.Table:
-    """Combiner: within-batch (subj,pred,obj) -> (n_docs, max confidence)."""
-    import polars as pl
+    """Combiner: within-batch (subj,pred,obj) -> (n_docs, max confidence).
 
-    df = pl.from_arrow(batch)
-    out = (
-        df.group_by(["subj", "pred", "obj"])
-        .agg(
-            pl.col("doc_id").n_unique().alias("n_docs"),
-            pl.col("confidence").max().alias("confidence"),
-        )
-        .to_arrow()
+    pyarrow-native group_by (C++ hash aggregation); a doc's triples are
+    already distinct within the doc, so count == distinct-doc count."""
+    out = batch.group_by(["subj", "pred", "obj"]).aggregate(
+        [("doc_id", "count"), ("confidence", "max")]
     )
-    return out
+    out = out.rename_columns(["subj", "pred", "obj", "n_docs", "confidence"])
+    return out.set_column(
+        out.schema.get_field_index("n_docs"),
+        "n_docs",
+        out.column("n_docs").cast(pa.int64()),
+    )
 
 
 def canonicalize_edges(triples_ds):
     """triples Dataset -> canonical edges Dataset via partial-agg + final
-    groupby shuffle."""
+    groupby shuffle.
+
+    The per-batch combiner bounds each distinct triple to one row per
+    upstream block before the all-to-all exchange; skew is structurally
+    bounded the same way (a hot key like "cancer" contributes at most one
+    partial row per block, so no reduce-side straggler can form —
+    pre-aggregation subsumes key salting for dedup/count reductions)."""
     from ray.data.aggregate import Max, Sum
 
     partial = triples_ds.map_batches(partial_edge_agg, batch_format="pyarrow")
