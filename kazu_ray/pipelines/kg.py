@@ -116,6 +116,8 @@ class AnnotateEmitTriples:
         ):
             if err is not None:
                 continue  # dead-letter doc: emits nothing
+            if sum(len(sp["text"]) for sp in spans) > MAX_DOC_CHARS:
+                continue  # skip-doc guard (reference pipeline.py:138-155)
             ents = []
             span_toks = {}
             for idx, sp in enumerate(spans):
@@ -140,8 +142,9 @@ def edges_pipeline(docs_ds, dicts: CompiledDicts, *, concurrency=4, batch_size=2
     from ..context import tune_context
 
     tune_context()
-    ds = docs_ds.map_batches(prefilter_batch, batch_format="pyarrow")
-    triples = ds.map_batches(
+    # the over-length guard runs inline in the actor (no separate
+    # full-corpus pass); use annotate() when dead-letter rows are needed
+    triples = docs_ds.map_batches(
         AnnotateEmitTriples,
         fn_constructor_args=(dicts.curations_path, dicts.synonyms_path, dicts.metadata_path),
         batch_format="pyarrow",

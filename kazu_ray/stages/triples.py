@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..constants import PRED_CO_OCCURS, PRED_MAPS_TO, PRED_MENTIONS
-from ..schemas import TRIPLES_SCHEMA
+from ..schemas import EDGES_SCHEMA, TRIPLES_SCHEMA
 
 
 def doc_triples(doc_id: str, ents: list[dict], out: dict) -> None:
@@ -85,20 +85,55 @@ def partial_edge_agg(batch: pa.Table) -> pa.Table:
 
 
 def canonicalize_edges(triples_ds):
-    """triples Dataset -> canonical edges Dataset via partial-agg + final
-    groupby shuffle.
+    """triples Dataset -> canonical edges Dataset.
 
-    The per-batch combiner bounds each distinct triple to one row per
-    upstream block before the all-to-all exchange; skew is structurally
-    bounded the same way (a hot key like "cancer" contributes at most one
-    partial row per block, so no reduce-side straggler can form —
-    pre-aggregation subsumes key salting for dedup/count reductions)."""
+    Two-tier canonicalization:
+
+    - ``mentions`` edges are keyed by (doc_id, curie) and every document
+      lives in exactly one upstream batch, so after the per-batch
+      combiner they are globally unique BY CONSTRUCTION — they bypass
+      the shuffle entirely (the bulk of the edge volume never moves).
+    - ``maps-to`` / ``co-occurs`` edges need cross-document aggregation;
+      their distinct-key space is bounded by the ontology (not the
+      corpus), so the groupby shuffle they go through is small.  The
+      per-batch combiner also bounds skew: a hot key ("cancer", "EGFR")
+      contributes at most one partial row per upstream block, so no
+      reduce-side straggler can form — pre-aggregation subsumes key
+      salting for dedup/count reductions.
+
+    The partials are materialized so the two branches don't re-execute
+    the upstream NER pipeline; at full corpus scale run the pipeline
+    through ``run_partitioned`` where each partition's partials are
+    bounded before this step.
+    """
+    import pyarrow.compute as pc
     from ray.data.aggregate import Max, Sum
 
-    partial = triples_ds.map_batches(partial_edge_agg, batch_format="pyarrow")
-    return (
-        partial.groupby(["subj", "pred", "obj"])
-        .aggregate(Sum("n_docs", alias_name="n_docs"), Max("confidence", alias_name="confidence"))
+    partial = triples_ds.map_batches(partial_edge_agg, batch_format="pyarrow").materialize()
+    mentions = partial.map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], "mentions")), batch_format="pyarrow"
+    )
+    others = partial.map_batches(
+        lambda t: t.filter(pc.not_equal(t["pred"], "mentions")), batch_format="pyarrow"
+    )
+    others_agg = others.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"), Max("confidence", alias_name="confidence")
+    )
+
+    def _to_edge_schema(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("subj").cast(pa.string()),
+                t.column("pred").cast(pa.string()),
+                t.column("obj").cast(pa.string()),
+                t.column("n_docs").cast(pa.int64()),
+                t.column("confidence").cast(pa.int32()),
+            ],
+            schema=EDGES_SCHEMA,
+        )
+
+    return mentions.map_batches(_to_edge_schema, batch_format="pyarrow").union(
+        others_agg.map_batches(_to_edge_schema, batch_format="pyarrow")
     )
 
 
@@ -113,14 +148,13 @@ def nodes_from_edges(edges_ds, metadata_path: str):
     meta = load_metadata(metadata_path)
     by_idx = {idx: m for (_parser, idx), m in meta.items()}
 
+    import pyarrow.compute as pc
+
     curies: set[str] = set()
     for batch in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for col, pred_filter in (("obj", None), ("subj", PRED_CO_OCCURS)):
-            vals = batch.column(col).to_pylist()
-            preds = batch.column("pred").to_pylist()
-            for v, p in zip(vals, preds):
-                if pred_filter is None or p == pred_filter:
-                    curies.add(v)
+        curies.update(pc.unique(batch.column("obj")).to_pylist())
+        co = batch.filter(pc.equal(batch.column("pred"), PRED_CO_OCCURS))
+        curies.update(pc.unique(co.column("subj")).to_pylist())
     curies = {c for c in curies if not c.startswith("MENTION:")}
     rows = sorted(curies)
 
