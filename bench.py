@@ -23,7 +23,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # corpus amplifier: each base document row yields REPEAT distinct
 # interleaved documents (deterministic), so the headline measures
 # compute/shuffle, not fixed session overhead
-REPEAT = int(os.environ.get("GRAFT_REPEAT", "40"))
+REPEAT = int(os.environ.get("GRAFT_REPEAT", "96"))
 
 
 def _timed(fn):

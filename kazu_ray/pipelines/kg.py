@@ -58,10 +58,19 @@ def prefilter_batch(batch):
 
 
 def annotate(docs_ds, dicts: CompiledDicts, *, ner_concurrency=4, post_concurrency=4,
-             batch_size=256):
+             batch_size=256, include_transformer: bool = False,
+             actor_num_cpus: float = 1):
     """docs Dataset -> docs Dataset with final ``entities`` column.
 
-    Both stateful stages are autoscaling actor pools (min 1) so they can
+    Stage order mirrors the reference default pipeline
+    (conf/Pipeline/default.yaml): string-matching NER -> [transformer
+    NER -> fuzzy linking] -> doc-local post-processing.  The transformer
+    stage is opt-in: its tagger is the torch-free stand-in
+    (stages/transformer_ner.py docstring) which adds no recall over the
+    dictionary on the synthetic fixtures; enable it when a real
+    checkpoint is available (it becomes the GPU actor pool).
+
+    All stateful stages are autoscaling actor pools (min 1) so they can
     never reserve every cluster CPU and starve the read/shuffle tasks.
     """
     def _pool(c):
@@ -74,15 +83,34 @@ def annotate(docs_ds, dicts: CompiledDicts, *, ner_concurrency=4, post_concurren
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=_pool(ner_concurrency),
-        num_cpus=1,
+        num_cpus=actor_num_cpus,
     )
+    if include_transformer:
+        from ..stages.linking import TfIdfLinker
+        from ..stages.transformer_ner import TransformerNer
+
+        ds = ds.map_batches(
+            TransformerNer,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=_pool(ner_concurrency),
+            num_cpus=actor_num_cpus,  # num_gpus=k with a real checkpoint
+        )
+        ds = ds.map_batches(
+            TfIdfLinker,
+            fn_constructor_args=(dicts.synonyms_path,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=_pool(ner_concurrency),
+            num_cpus=actor_num_cpus,
+        )
     ds = ds.map_batches(
         DocPostProcessor,
         fn_constructor_args=(dicts.synonyms_path, dicts.metadata_path),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=_pool(post_concurrency),
-        num_cpus=1,
+        num_cpus=actor_num_cpus,
     )
     return ds
 
