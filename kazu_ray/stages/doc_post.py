@@ -27,6 +27,7 @@ fixpoint on acceptance fixtures without order-dependent bookkeeping.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 
 import pyarrow as pa
@@ -213,8 +214,10 @@ def expand_abbreviations(
 @dataclass
 class _Resolution:
     id_set: frozenset[tuple[str, str]]
-    strategy: str
-    confidence: str
+    strategy: str  # disambiguation strategy name
+    confidence: str  # disambiguation confidence
+    match_strategy: str = "ExactMatchMappingStrategy"
+    match_confidence: str = LINK_CERTAIN
 
 
 class MappingCascade:
@@ -235,26 +238,84 @@ class MappingCascade:
                     "source": source,
                     "idx": idx,
                     "default_label": meta.get("default_label", ""),
-                    "string_match_strategy": "ExactMatch",
-                    "string_match_confidence": LINK_CERTAIN,
+                    "string_match_strategy": res.match_strategy,
+                    "string_match_confidence": res.match_confidence,
                     "disambiguation_strategy": res.strategy,
                     "disambiguation_confidence": res.confidence,
                 }
             )
         return out
 
+    # -- string-match strategy ladder (mapping_strategies/strategies.py) ----
+
+    @staticmethod
+    def _symbols_match(a: str, b: str) -> bool:
+        """Token-multiset containment: every whitespace token of the more
+        tokenized side appears in (and uses up) the other, e.g. "MAP K 8"
+        vs "MAPK8" (reference SymbolMatchMappingStrategy:295-332)."""
+        ta, tb = a.split(" "), b.split(" ")
+        longest, shortest = (ta, b) if len(ta) > len(tb) else (tb, a)
+        for tok in longest:
+            if tok not in shortest:
+                return False
+            shortest = shortest.replace(tok, "", 1)
+        return shortest.strip() == ""
+
+    def _select_terms(
+        self, entity: dict, parser: str, cands: list[dict]
+    ) -> tuple[list[dict], str, str] | None:
+        """Ordered filter strategies, stop on first success; returns
+        (selected candidates, strategy name, match confidence)."""
+        match_norm = entity["match_norm"]
+        # 1. ExactMatch (strategies.py:281-292)
+        exact = [c for c in cands if c["exact_match"]]
+        if exact:
+            return exact, "ExactMatchMappingStrategy", LINK_CERTAIN
+        # 2. SymbolMatch (:295-332)
+        sym = [c for c in cands if self._symbols_match(match_norm, c["term_norm"])]
+        if sym:
+            return sym, "SymbolMatchMappingStrategy", LINK_PROBABLE
+        # 3. TermNormIsSubString: unique longest term_norm that is one of
+        #    the match_norm tokens, min length 3 (:335-390)
+        norm_tokens = set(match_norm.split(" "))
+        subs = sorted(
+            (c for c in cands if c["term_norm"] in norm_tokens and len(c["term_norm"]) >= 3),
+            key=lambda c: -len(c["term_norm"]),
+        )
+        for _len, group in itertools.groupby(subs, key=lambda c: len(c["term_norm"])):
+            g = list(group)
+            if len(g) == 1:
+                return g, "TermNormIsSubStringMappingStrategy", LINK_PROBABLE
+        # 4. StrongMatch with embedding confirmation (:393-528): top score
+        #    minus differential window (candidates already passed the
+        #    search threshold + embedding confirmation in the linker)
+        scored = [c for c in cands if c["search_score"] > 0]
+        if scored:
+            best = max(c["search_score"] for c in scored)
+            strong = [c for c in scored if best - c["search_score"] <= 2.0]
+            if strong:
+                return (
+                    strong,
+                    "StrongMatchWithEmbeddingConfirmationStringMatchingStrategy",
+                    LINK_PROBABLE,
+                )
+        return None
+
+    # -- disambiguation ladder (disambiguation/strategies.py) ---------------
+
     def _disambiguate(
         self,
-        rec: SynRecord,
+        parser: str,
+        entity_class: str,
+        sets: list[frozenset],
         entity: dict,
         doc_mapped_ids: set[str],
         ctx_vec,
-    ) -> _Resolution | None:
-        sets = rec.assoc_sets
+    ):
         # 1. DefinedElsewhereInDocument (disambiguation/strategies.py:100-149)
         hits = [s for s in sets if any(i in doc_mapped_ids for i, _src in s)]
         if len(hits) == 1:
-            return _Resolution(hits[0], "DefinedElsewhereInDocument", LINK_PROBABLE)
+            return hits[0], "DefinedElsewhereInDocument"
         # 2. context-similarity (stand-in for TfIdfDisambiguationStrategy
         #    :152-269; threshold 0.70, same shape: doc context vs per-set
         #    label vectors)
@@ -262,53 +323,69 @@ class MappingCascade:
             scored = []
             for s in sets:
                 labels = [
-                    self.metadata.get((rec.parser_name, i), {}).get("default_label", i)
+                    self.metadata.get((parser, i), {}).get("default_label", i)
                     for i, _src in s
                 ]
                 best = max(float(ctx_vec @ self.embedder.encode(lbl)) for lbl in labels)
                 scored.append((best, s))
             scored.sort(key=lambda x: -x[0])
             if scored[0][0] >= CONTEXT_SIM_THRESHOLD:
-                return _Resolution(scored[0][1], "ContextSimilarity", LINK_PROBABLE)
+                return scored[0][1], "ContextSimilarity"
         # 3. annotation-score (AnnotationLevelDisambiguationStrategy :361-397)
         def set_score(s):
             return max(
-                int(self.metadata.get((rec.parser_name, i), {}).get("annotation_score", 0) or 0)
+                int(self.metadata.get((parser, i), {}).get("annotation_score", 0) or 0)
                 for i, _src in s
             )
 
-        scores = [(set_score(s), s) for s in sets]
-        scores.sort(key=lambda x: -x[0])
+        scores = sorted(((set_score(s), s) for s in sets), key=lambda x: -x[0])
         if len(scores) >= 2 and scores[0][0] > scores[1][0]:
-            return _Resolution(scores[0][1], "AnnotationLevel", LINK_PROBABLE)
+            return scores[0][1], "AnnotationLevel"
         # 4. prefer default-label match (:400-446)
         label_hits = []
         for s in sets:
             for i, _src in s:
-                lbl = self.metadata.get((rec.parser_name, i), {}).get("default_label", "")
-                if lbl and normalize(lbl, rec.entity_class) == entity["match_norm"]:
+                lbl = self.metadata.get((parser, i), {}).get("default_label", "")
+                if lbl and normalize(lbl, entity_class) == entity["match_norm"]:
                     label_hits.append(s)
                     break
         if len(label_hits) == 1:
-            return _Resolution(label_hits[0], "PreferDefaultLabelMatch", LINK_PROBABLE)
-        return None
+            return label_hits[0], "PreferDefaultLabelMatch"
+        return None, None
 
     def run(self, spans: list[dict], entities: list[dict]) -> None:
         doc_mapped_ids: set[str] = set()
-        ambiguous: list[tuple[dict, SynRecord]] = []
+        deferred: list[tuple[dict, str, list, str, str]] = []
 
-        # pass 1: unambiguous candidates resolve immediately (ExactMatch)
+        # pass 1: run the string-match ladder per (entity, parser); map
+        # immediately when a single equivalent-id set remains
         for e in entities:
-            mappings: list[dict] = []
+            by_parser: dict[str, list[dict]] = {}
             for cand in e["candidates"]:
-                rec = self.synonyms.get((cand["parser_name"], cand["term_norm"]))
-                if rec is None:
+                by_parser.setdefault(cand["parser_name"], []).append(cand)
+            mappings: list[dict] = []
+            for parser, cands in by_parser.items():
+                selection = self._select_terms(e, parser, cands)
+                if selection is None:
                     continue
-                if not rec.is_ambiguous:
-                    res = _Resolution(rec.assoc_sets[0], "NotAmbiguous", LINK_CERTAIN)
-                    mappings.extend(self._make_mappings(rec.parser_name, res))
+                selected, strategy, match_conf = selection
+                id_sets: list[frozenset] = []
+                for c in selected:
+                    rec = self.synonyms.get((parser, c["term_norm"]))
+                    if rec is None:
+                        continue
+                    for s in rec.assoc_sets:
+                        if s not in id_sets:
+                            id_sets.append(s)
+                if not id_sets:
+                    continue
+                if len(id_sets) == 1:
+                    res = _Resolution(
+                        id_sets[0], "NotAmbiguous", match_conf, strategy, match_conf
+                    )
+                    mappings.extend(self._make_mappings(parser, res))
                 else:
-                    ambiguous.append((e, rec))
+                    deferred.append((e, parser, id_sets, strategy, match_conf))
             if mappings:
                 e["mappings"] = e["mappings"] + mappings
                 doc_mapped_ids.update(m["idx"] for m in mappings)
@@ -316,17 +393,24 @@ class MappingCascade:
         # pass 2: disambiguate against document state (doc context vector
         # computed once per doc, only if anything ambiguous remains)
         ctx_vec = None
-        if ambiguous:
+        if deferred:
             doc_context = " ".join(sp["text"] for sp in spans if sp["text"])
             if doc_context:
                 ctx_vec = self.embedder.encode(doc_context[:2000])
-        for e, rec in ambiguous:
-            res = self._disambiguate(rec, e, doc_mapped_ids, ctx_vec)
-            if res is None:
+        for e, parser, id_sets, strategy, match_conf in deferred:
+            entity_class = e["entity_class"]
+            chosen, disamb = self._disambiguate(
+                parser, entity_class, id_sets, e, doc_mapped_ids, ctx_vec
+            )
+            if chosen is None:
                 # all candidate ids kept, flagged AMBIGUOUS -> cleanup drops
-                all_ids = frozenset(rec.all_ids())
-                res = _Resolution(all_ids, "NoStrategySucceeded", LINK_AMBIGUOUS)
-            e["mappings"] = e["mappings"] + self._make_mappings(rec.parser_name, res)
+                all_ids = frozenset().union(*id_sets)
+                res = _Resolution(
+                    all_ids, "NoStrategySucceeded", LINK_AMBIGUOUS, strategy, match_conf
+                )
+            else:
+                res = _Resolution(chosen, disamb, LINK_PROBABLE, strategy, match_conf)
+            e["mappings"] = e["mappings"] + self._make_mappings(parser, res)
 
 
 # ---------------------------------------------------------------------------
