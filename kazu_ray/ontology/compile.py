@@ -185,22 +185,50 @@ def default_curations(syn_df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def compile_dictionaries(out_dir: str, source_df: pd.DataFrame | None = None) -> CompiledDicts:
-    """Run the compile job; returns paths of the three side tables."""
+def compile_dictionaries(
+    out_dir: str,
+    source_df: pd.DataFrame | None = None,
+    *,
+    curated_terms: list | None = None,
+    parser_actions: list | None = None,
+    synonym_generators=None,
+) -> CompiledDicts:
+    """Run the compile job; returns paths of the three side tables.
+
+    :param curated_terms: list of :class:`~.curations.CuratedTerm`
+        behaviour overrides (IGNORE / ADD_FOR_LINKING_ONLY / ...)
+    :param parser_actions: list of :class:`~.curations.ParserAction`
+        (DROP_IDS_FROM_PARSER) applied before compile
+    :param synonym_generators: a CombinatorialSynonymGenerator to expand
+        surface forms (ontology/generate.py), or None
+    """
     import ray
     import ray.data as rd
+
+    from .curations import apply_curations, apply_parser_actions
 
     os.makedirs(out_dir, exist_ok=True)
     syn_df = source_df if source_df is not None else synonym_frame()
     meta_df = metadata_frame()
+    if parser_actions:
+        syn_df, meta_df = apply_parser_actions(syn_df, meta_df, parser_actions)
+    if synonym_generators is not None:
+        from .generate import expand_frame
+
+        syn_df = expand_frame(syn_df, synonym_generators)
     labels_by_idx = dict(zip(meta_df["idx"], meta_df["default_label"]))
 
     metadata_path = os.path.join(out_dir, "metadata.parquet")
     pq.write_table(pa.Table.from_pandas(meta_df, preserve_index=False), metadata_path)
 
+    ner_curations = default_curations(syn_df)
+    if curated_terms:
+        syn_df, ner_curations = apply_curations(
+            syn_df, ner_curations, curated_terms, normalize
+        )
     curations_path = os.path.join(out_dir, "curations.parquet")
     pq.write_table(
-        pa.Table.from_pandas(default_curations(syn_df), preserve_index=False), curations_path
+        pa.Table.from_pandas(ner_curations, preserve_index=False), curations_path
     )
 
     synonyms_path = os.path.join(out_dir, "synonyms.parquet")
