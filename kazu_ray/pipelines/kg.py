@@ -243,6 +243,16 @@ def run_partitioned(
         docs = part_ds.map_batches(interleave_batch, batch_format="pyarrow")
         edges = edges_pipeline(docs, dicts, concurrency=ner_concurrency).materialize()
         nodes = nodes_from_edges(edges, dicts.metadata_path)
+
+        # dead-letter partition: over-length / failed docs, kept with
+        # their error reason (reference FailedDocsFileHandler analogue)
+        from ..stages.filters import dead_letter
+
+        dl = dead_letter(docs.map_batches(prefilter_batch, batch_format="pyarrow"))
+        dl = dl.materialize()
+        n_failed = dl.count()
+        if n_failed:
+            dl.write_parquet(os.path.join(out_dir, "dead_letter", f"part={part}"))
         edges_path = os.path.join(out_dir, "edges", f"part={part}")
         nodes_path = os.path.join(out_dir, "nodes", f"part={part}")
         n_edges = edges.count()  # already materialized by build_graph
@@ -257,6 +267,7 @@ def run_partitioned(
             "input": f"{sf_dir}/documents.parquet",
             "n_edges": n_edges,
             "n_nodes": n_nodes,
+            "n_failed_docs": n_failed,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         with open(lineage_path + ".tmp", "w") as f:

@@ -1,0 +1,59 @@
+"""Sentence segmentation stage.
+
+Re-realizes the reference's sentence-span machinery (StanzaStep writes
+``section.sentence_spans``, /root/reference/kazu/steps/other/stanza.py:
+14-117; Section._sentence_spans write-once semantics data.py:532-547) as
+a vectorizable regex sentencizer producing a ``sent_spans`` column:
+``list<list<struct<span_idx:int32, start:int32, end:int32>>>`` per doc.
+
+The genia-trained Stanza model is not available here; the rule-based
+splitter covers the biomedical-abstract shapes the pipeline consumes
+(sentence break after . ! ? followed by whitespace + capital/digit,
+not after single-uppercase-letter abbreviations like "Haemophilia A.").
+A model-backed splitter would slot into the same actor-pool stage.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+SENT_STRUCT = pa.struct(
+    [("span_idx", pa.int32()), ("start", pa.int32()), ("end", pa.int32())]
+)
+
+# break after terminal punctuation + whitespace when followed by an
+# uppercase letter, digit or opening bracket
+_BOUNDARY = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9(\"])")
+
+
+def sentence_spans(text: str) -> list[tuple[int, int]]:
+    out = []
+    start = 0
+    for m in _BOUNDARY.finditer(text):
+        end = m.start()
+        if end > start:
+            out.append((start, end))
+        start = m.end()
+    if start < len(text):
+        stripped = text[start:].rstrip()
+        if stripped:
+            out.append((start, start + len(stripped)))
+    return out
+
+
+def add_sentence_spans(batch: pa.Table) -> pa.Table:
+    """map_batches UDF: adds ``sent_spans`` (write-once; spans column
+    untouched — the per-row invariant holds)."""
+    col = []
+    for spans in batch.column("spans").to_pylist():
+        doc_sents = []
+        for i, sp in enumerate(spans):
+            if sp["text"]:
+                for s, e in sentence_spans(sp["text"]):
+                    doc_sents.append({"span_idx": i, "start": s, "end": e})
+        col.append(doc_sents)
+    if "sent_spans" in batch.schema.names:
+        raise ValueError("sent_spans already set (write-once, reference data.py:532-547)")
+    return batch.append_column("sent_spans", pa.array(col, type=pa.list_(SENT_STRUCT)))

@@ -1,0 +1,67 @@
+import pyarrow as pa
+import pytest
+
+from kazu_ray.stages.sentences import add_sentence_spans, sentence_spans
+
+
+def test_sentence_spans_basic():
+    text = "EGFR is a gene. Melanoma was resected! Was it benign? Yes."
+    spans = sentence_spans(text)
+    assert [text[s:e] for s, e in spans] == [
+        "EGFR is a gene.", "Melanoma was resected!", "Was it benign?", "Yes.",
+    ]
+
+
+def test_sentence_no_break_lowercase():
+    text = "measured approx. twice daily."
+    assert len(sentence_spans(text)) == 1
+
+
+def test_add_sentence_spans_write_once():
+    batch = pa.Table.from_pylist(
+        [{"doc_id": "d", "spans": [
+            {"kind": "text", "text": "One. Two.", "media_ref": "", "offset": 0},
+            {"kind": "image", "text": "", "media_ref": "m://x", "offset": 9},
+        ]}]
+    )
+    out = add_sentence_spans(batch)
+    sents = out.column("sent_spans").to_pylist()[0]
+    assert len(sents) == 2 and all(s["span_idx"] == 0 for s in sents)
+    # spans column untouched
+    assert out.column("spans").to_pylist() == batch.column("spans").to_pylist()
+    with pytest.raises(ValueError):
+        add_sentence_spans(out)
+
+
+def test_entity_class_filter(ray_session, compiled_dicts):
+    from kazu_ray.pipelines.kg import annotate
+    from kazu_ray.sources.interleave import interleaved_docs
+    from kazu_ray.stages.filters import filter_docs_with_entity_class
+
+    ann = annotate(
+        interleaved_docs("/root/testdata/sf0.001"), compiled_dicts,
+        ner_concurrency=1, post_concurrency=1,
+    ).materialize()
+    total = ann.count()
+    drugs = filter_docs_with_entity_class(ann, "drug").materialize()
+    assert 0 < drugs.count() < total
+    for row in drugs.take(10):
+        assert any(e["entity_class"] == "drug" for e in row["entities"])
+
+
+def test_dead_letter(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.pipelines.kg import prefilter_batch
+    from kazu_ray.stages.filters import dead_letter
+
+    big = "x" * 250_000
+    docs = rd.from_items(
+        [
+            {"doc_id": "ok", "spans": [{"kind": "text", "text": "fine", "media_ref": "", "offset": 0}]},
+            {"doc_id": "big", "spans": [{"kind": "text", "text": big, "media_ref": "", "offset": 0}]},
+        ]
+    ).map_batches(prefilter_batch, batch_format="pyarrow")
+    dl = dead_letter(docs).take_all()
+    assert [r["doc_id"] for r in dl] == ["big"]
+    assert "too long" in dl[0]["error"]
