@@ -143,49 +143,66 @@ def minhash_signature(text: str) -> np.ndarray:
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """doc -> N_BANDS rows of (band_id, band_hash, doc_id): the explode
     step before the LSH groupby shuffle."""
-    doc_ids, band_ids, band_hashes = [], [], []
+    doc_ids, band_ids, band_hashes, band_parts = [], [], [], []
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
         sig = minhash_signature(text)
         for b in range(N_BANDS):
             chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
             doc_ids.append(doc_id)
             band_ids.append(b)
-            band_hashes.append(h)
+            band_hashes.append(digest.hex())
+            # coarse shuffle partition: band salted by 2 hash bits, so the
+            # groupby has ~4*N_BANDS groups, each holding many buckets
+            band_parts.append(b * 4 + (digest[0] & 3))
     return pa.Table.from_pydict(
         {
             "band_id": pa.array(band_ids, type=pa.int32()),
             "band_hash": pa.array(band_hashes, type=pa.string()),
+            "band_part": pa.array(band_parts, type=pa.int32()),
             "doc_id": pa.array(doc_ids, type=pa.int64()),
         }
     )
 
 
 def q_minhash_candidates(sf_dir: str):
-    """LSH candidate pairs: shingle -> minhash -> band -> groupby(band) ->
-    within-bucket pairs.  The groupby key (band_id, band_hash) is
-    uniformly distributed; bucket sizes bound reduce skew."""
-    import pandas as pd
+    """LSH candidate pairs: shingle -> minhash -> band-explode ->
+    groupby(coarse band partition) -> vectorized within-partition
+    bucket-pairing -> cross-band dedup.
+
+    The shuffle key is the band partition (band_id salted by a few bits
+    of band_hash, not the raw (band_id, band_hash) bucket): per-group
+    python overhead is amortized over thousands of buckets, and the
+    per-bucket pairing runs vectorized in polars inside each group.
+    Bucket sizes still bound reduce-side skew."""
+    import polars as pl
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    def bucket_pairs(g) -> pa.Table:
+        df = pl.from_pandas(g) if not isinstance(g, pl.DataFrame) else g
+        grouped = df.group_by("band_hash").agg(pl.col("doc_id").sort().alias("ids"))
+        a_out, b_out = [], []
+        for ids in grouped["ids"].to_list():
+            if len(ids) < 2:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a_out, type=pa.int64()),
+                "doc_b": pa.array(b_out, type=pa.int64()),
+            }
+        )
 
     pairs = (
         ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("band_part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # dedup candidate pairs discovered in multiple bands

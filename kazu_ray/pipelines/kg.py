@@ -128,6 +128,7 @@ class AnnotateEmitTriples:
     def __init__(self, curations_path: str, synonyms_path: str, metadata_path: str):
         self.ner = DictionaryNer(curations_path, synonyms_path)
         self.post = DocPostProcessor(synonyms_path, metadata_path)
+        self.failed_docs = 0  # per-actor failure counter (row isolation)
 
     def __call__(self, batch):
         from ..functions.tokens import tokenize
@@ -146,17 +147,29 @@ class AnnotateEmitTriples:
                 continue  # dead-letter doc: emits nothing
             if sum(len(sp["text"]) for sp in spans) > MAX_DOC_CHARS:
                 continue  # skip-doc guard (reference pipeline.py:138-155)
-            ents = []
-            span_toks = {}
-            for idx, sp in enumerate(spans):
-                if sp["text"]:
-                    toks = tokenize(sp["text"])
-                    span_toks[idx] = toks
-                    ents.extend(self.ner.match_span_text(sp["text"], idx, toks))
-            final = self.post.process_doc(
-                spans, ents, span_toks=span_toks, copy_entities=False
-            )
-            doc_triples(doc_id, final, out)
+            try:
+                ents = []
+                span_toks = {}
+                for idx, sp in enumerate(spans):
+                    if sp["text"]:
+                        toks = tokenize(sp["text"])
+                        span_toks[idx] = toks
+                        ents.extend(self.ner.match_span_text(sp["text"], idx, toks))
+                final = self.post.process_doc(
+                    spans, ents, span_toks=span_toks, copy_entities=False
+                )
+                doc_triples(doc_id, final, out)
+            except Exception:  # noqa: BLE001 — per-row failure isolation
+                # mirror of the reference's document_iterating_step error
+                # handling (step.py:60-151): one bad document must never
+                # kill the batch/block
+                self.failed_docs += 1
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "doc %s failed; skipping (failures this actor: %d)",
+                    doc_id, self.failed_docs,
+                )
         return triple_columns_to_table(out)
 
 
