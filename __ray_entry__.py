@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_minhash_candidates,
         q_simhash,
     )
+    from kazu_ray.extras.cluster import q_neardup_components
     from kazu_ray.extras.multimodal import q_media_features
     from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk
     from kazu_ray.extras.text_analysis import (
@@ -169,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": q_minhash_candidates,  # rows-only (LSH)
         "simhash": q_simhash,  # rows-only (hash impl defined by engine)
         "embedding_neardup": q_embedding_neardup,
+        "neardup_components": q_neardup_components,  # rows-only (LSH + label prop)
         # --- similarity search
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
