@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_simhash,
     )
     from kazu_ray.extras.cluster import q_neardup_components
+    from kazu_ray.extras.windows import q_asof_join, q_events_sessions
     from kazu_ray.extras.multimodal import q_media_features
     from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk
     from kazu_ray.extras.text_analysis import (
@@ -155,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "asof_join": q_asof_join,
         "distinct_flags": q_distinct_flags,
         "region_customer_counts": q_region_customer_counts,
         "customer_order_join": q_customer_order_join,
@@ -212,6 +215,30 @@ def oracle_sql() -> dict[str, str]:
         "distinct_flags": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            s AS (
+              SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                               OR us - LAG(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ), t AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
+            FROM t GROUP BY user_id, sid ORDER BY user_id, session_start_us
+        """,
+        "asof_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   COALESCE(v.event_id, -1) AS view_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.user_id, purchase_id
         """,
         "region_customer_counts": """
             SELECT r.r_name AS region_name, COUNT(*) AS n_customers
