@@ -1,0 +1,59 @@
+"""Resumability (crash mid-run) and skew-bounding semantics."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def test_crash_mid_run_resumes(ray_session, compiled_dicts, tmp_path, monkeypatch):
+    """Kill the job after partition 0; the rerun must skip partition 0
+    (lineage validates) and produce identical total output."""
+    import kazu_ray.pipelines.kg as kg
+
+    out = str(tmp_path / "kg_out")
+    real = kg.edges_pipeline
+    calls = {"n": 0}
+
+    def crashing(*args, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash before partition 1")
+        calls["n"] += 1
+        return real(*args, **kw)
+
+    monkeypatch.setattr(kg, "edges_pipeline", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        kg.run_partitioned("/root/testdata/sf0.001", out, compiled_dicts,
+                           num_partitions=2, ner_concurrency=1)
+    # partition 0 completed and has lineage; partition 1 does not
+    assert os.path.exists(os.path.join(out, "_lineage", "part=0.json"))
+    assert not os.path.exists(os.path.join(out, "_lineage", "part=1.json"))
+    part0 = json.load(open(os.path.join(out, "_lineage", "part=0.json")))
+    assert part0["status"] == "complete"
+
+    # resume with the real pipeline: partition 0 skipped, 1 computed
+    monkeypatch.setattr(kg, "edges_pipeline", real)
+    results = kg.run_partitioned("/root/testdata/sf0.001", out, compiled_dicts,
+                                 num_partitions=2, ner_concurrency=1)
+    assert results[0] == part0  # reused, not recomputed
+    assert results[1]["status"] == "complete"
+    # full edge output present for both partitions
+    assert os.path.isdir(os.path.join(out, "edges", "part=0"))
+    assert os.path.isdir(os.path.join(out, "edges", "part=1"))
+
+
+def test_combiner_bounds_hot_key():
+    """The per-batch combiner guarantees a hot key ('cancer') contributes
+    at most ONE partial row per batch, regardless of how many documents
+    in the batch mention it — the structural skew bound."""
+    from kazu_ray.stages.triples import partial_edge_agg
+
+    rows = []
+    for i in range(500):  # 500 docs all mentioning the same hot CURIE
+        rows.append({"subj": f"MENTION:CANCER", "pred": "maps-to",
+                     "obj": "MONDO_0004992", "doc_id": f"doc-{i}", "confidence": 100})
+    batch = pa.Table.from_pylist(rows)
+    out = partial_edge_agg(batch)
+    assert len(out) == 1
+    assert out.column("n_docs").to_pylist() == [500]
