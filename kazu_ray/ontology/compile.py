@@ -97,6 +97,8 @@ def score_and_group_ids(
 
 def _add_norm_columns(df: pd.DataFrame) -> pd.DataFrame:
     # scalar python fns over strings; lru-cached per worker
+    import zlib
+
     df = df.copy()
     df["term_norm"] = [
         normalize(s, ec) for s, ec in zip(df["syn"], df["entity_class"])
@@ -104,44 +106,50 @@ def _add_norm_columns(df: pd.DataFrame) -> pd.DataFrame:
     df["syn_symbolic"] = [
         classify_symbolic(s, ec) for s, ec in zip(df["syn"], df["entity_class"])
     ]
+    # coarse shuffle key: all rows of one (parser, term_norm) group land in
+    # the same partition, many groups per partition
+    df["group_part"] = [
+        zlib.crc32(f"{p}\x00{t}".encode()) % 64
+        for p, t in zip(df["parser_name"], df["term_norm"])
+    ]
     return df
 
 
-class _ResolveGroup:
-    """map_groups UDF: one (parser_name, term_norm) group -> one compiled row."""
+class _ResolveGroups:
+    """map_groups UDF over a COARSE partition (hash(term_norm) bucket):
+    resolves every (parser_name, term_norm) group inside the partition in
+    one call, amortizing per-group task overhead — the same
+    coarse-key-then-vectorize pattern as the LSH bucketing.  Each real
+    group still gets exact reference semantics."""
 
     def __init__(self, labels_by_idx: dict[str, str]):
         self.labels_by_idx = labels_by_idx
         self.scorer = HashedNgramEmbedder()
 
-    def __call__(self, group: pd.DataFrame) -> pa.Table:
-        parser = group["parser_name"].iloc[0]
-        term_norm = group["term_norm"].iloc[0]
-        entity_class = group["entity_class"].iloc[0]
-        terms = sorted(set(group["syn"]))
-        mapping_types = sorted(set(group["mapping_type"]))
-        # reference semantics: symbolic iff EVERY raw surface form is symbolic
-        is_symbolic = bool(group["syn_symbolic"].all())
-        ids_and_source = {(idx, find_kb(idx)) for idx in group["idx"]}
-        assoc, strategy = score_and_group_ids(
-            ids_and_source, is_symbolic, self.labels_by_idx, self.scorer
-        )
-        assoc_struct = [
-            [{"idx": i, "source": s} for i, s in id_set] for id_set in assoc
-        ]
-        return pa.Table.from_pydict(
-            {
-                "parser_name": [parser],
-                "entity_class": [entity_class],
-                "term_norm": [term_norm],
-                "terms": [terms],
-                "is_symbolic": [is_symbolic],
-                "mapping_types": [mapping_types],
-                "assoc_sets": [assoc_struct],
-                "agg_strategy": [strategy],
-            },
-            schema=SYNONYMS_SCHEMA,
-        )
+    def __call__(self, part: pd.DataFrame) -> pa.Table:
+        cols = {k: [] for k in (
+            "parser_name", "entity_class", "term_norm", "terms", "is_symbolic",
+            "mapping_types", "assoc_sets", "agg_strategy",
+        )}
+        for (parser, term_norm), group in part.groupby(["parser_name", "term_norm"], sort=False):
+            terms = sorted(set(group["syn"]))
+            # reference semantics: symbolic iff EVERY raw surface is symbolic
+            is_symbolic = bool(group["syn_symbolic"].all())
+            ids_and_source = {(idx, find_kb(idx)) for idx in group["idx"]}
+            assoc, strategy = score_and_group_ids(
+                ids_and_source, is_symbolic, self.labels_by_idx, self.scorer
+            )
+            cols["parser_name"].append(parser)
+            cols["entity_class"].append(group["entity_class"].iloc[0])
+            cols["term_norm"].append(term_norm)
+            cols["terms"].append(terms)
+            cols["is_symbolic"].append(is_symbolic)
+            cols["mapping_types"].append(sorted(set(group["mapping_type"])))
+            cols["assoc_sets"].append(
+                [[{"idx": i, "source": s} for i, s in id_set] for id_set in assoc]
+            )
+            cols["agg_strategy"].append(strategy)
+        return pa.Table.from_pydict(cols, schema=SYNONYMS_SCHEMA)
 
 
 def default_curations(syn_df: pd.DataFrame) -> pd.DataFrame:
@@ -152,31 +160,21 @@ def default_curations(syn_df: pd.DataFrame) -> pd.DataFrame:
     - long non-symbolic forms are HIGHLY_LIKELY mentions, everything else
       PROBABLE.
     """
-    rows = []
-    for _, r in syn_df.iterrows():
-        sym = classify_symbolic(r["syn"], r["entity_class"])
-        case_sensitive = bool(sym and len(r["syn"]) <= 4)
-        conf = HIGHLY_LIKELY if (not sym and len(r["syn"]) >= 5) else PROBABLE
-        rows.append(
-            (
-                r["parser_name"],
-                r["entity_class"],
-                r["syn"],
-                normalize(r["syn"], r["entity_class"]),
-                case_sensitive,
-                conf,
-            )
-        )
+    syns = syn_df["syn"].tolist()
+    classes = syn_df["entity_class"].tolist()
+    sym = [classify_symbolic(s, ec) for s, ec in zip(syns, classes)]
     df = pd.DataFrame(
-        rows,
-        columns=[
-            "parser_name",
-            "entity_class",
-            "curated_synonym",
-            "term_norm",
-            "case_sensitive",
-            "mention_confidence",
-        ],
+        {
+            "parser_name": syn_df["parser_name"].tolist(),
+            "entity_class": classes,
+            "curated_synonym": syns,
+            "term_norm": [normalize(s, ec) for s, ec in zip(syns, classes)],
+            "case_sensitive": [bool(y and len(s) <= 4) for s, y in zip(syns, sym)],
+            "mention_confidence": [
+                HIGHLY_LIKELY if (not y and len(s) >= 5) else PROBABLE
+                for s, y in zip(syns, sym)
+            ],
+        }
     )
     # one curation per (parser, surface): max confidence, any case-sensitivity
     return (
@@ -233,14 +231,16 @@ def compile_dictionaries(
 
     synonyms_path = os.path.join(out_dir, "synonyms.parquet")
     ds = rd.from_pandas(syn_df)
+    if len(syn_df) > 10_000:
+        ds = ds.repartition(32)
     compiled = (
         ds.map_batches(_add_norm_columns, batch_format="pandas")
-        .groupby(["parser_name", "term_norm"])
+        .groupby("group_part")
         .map_groups(
-            _ResolveGroup,
+            _ResolveGroups,
             fn_constructor_args=(labels_by_idx,),
             batch_format="pandas",
-            concurrency=(1, 2),
+            concurrency=(1, 8),
         )
     )
     batches = [

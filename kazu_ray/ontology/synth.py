@@ -138,6 +138,47 @@ def synonym_frame() -> pd.DataFrame:
     )
 
 
+def large_synonym_frame(n_ids: int = 20_000, seed: int = 7) -> pd.DataFrame:
+    """Dictionary-scale synthetic ontology (~6 synonyms/id, so ~120k
+    surface forms at the default size) for compile/matching stress tests.
+
+    Real KAZU model packs carry ~10^6 synonyms across parsers
+    (reference docs); this generator produces a deterministically-shaped
+    corpus of that kind: symbols (GENE1234, GN-12/34), noun phrases
+    ("<adj> <stem> <greek>"), plural/case/hyphen variants and shared
+    ambiguous symbols — without external data.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    adjectives = ["acute", "chronic", "malignant", "benign", "familial",
+                  "juvenile", "atypical", "recurrent"]
+    stems = ["carcinoma", "lymphoma", "neuropathy", "dystrophy", "syndrome",
+             "deficiency", "sclerosis", "dysplasia"]
+    greeks = ["alpha", "beta", "gamma", "delta", ""]
+    rows = []
+    for i in range(n_ids):
+        idx = f"SYNTH_{i:07d}"
+        sym = f"SYN{i}"
+        adj = adjectives[int(rng.integers(len(adjectives)))]
+        stem = stems[int(rng.integers(len(stems)))]
+        greek = greeks[int(rng.integers(len(greeks)))]
+        label = f"{adj} {stem} {greek}".strip() + f" type {i % 97}"
+        syns = [label, sym, f"{sym}-{i % 9}", label.replace(" ", "-", 1), label + "s"]
+        if i % 50 == 0:  # shared ambiguous symbol every 50 ids
+            syns.append(f"AMB{i // 50 % 100}")
+        rows.append((idx, label, syns))
+    out = []
+    for idx, label, syns in rows:
+        out.append(("SYNTH", idx, label, label, "lbl", "disease"))
+        for s in syns[1:]:
+            out.append(("SYNTH", idx, label, s, "hasExactSynonym", "disease"))
+    return pd.DataFrame(
+        out,
+        columns=["parser_name", "idx", "default_label", "syn", "mapping_type", "entity_class"],
+    )
+
+
 def metadata_frame() -> pd.DataFrame:
     """Per-id metadata (reference MetadataDatabase, in_memory_db.py:23-74)."""
     rows = [
