@@ -80,11 +80,25 @@ def run_bench() -> dict:
     q = entrymod.queries()
     for name in ("lineitem_agg", "customer_order_join", "orders_topk",
                  "token_topk", "exact_dedup", "minhash_candidates",
-                 "ann_topk", "embedding_neardup", "doc_token_stats"):
+                 "ann_topk", "embedding_neardup", "doc_token_stats",
+                 "events_sessions", "asof_join"):
         try:
             queries[name] = _timed(lambda n=name: q[n](SF_DIR).count())
         except Exception as exc:  # record, don't die
             queries[name] = f"error: {exc}"
+
+    # dictionary-scale secondary metric: compile a ~100k-surface ontology
+    if os.environ.get("GRAFT_SKIP_DICT_BENCH") != "1":
+        import tempfile
+
+        from kazu_ray.ontology.compile import compile_dictionaries
+        from kazu_ray.ontology.synth import large_synonym_frame
+
+        big = large_synonym_frame(20_000)
+        with tempfile.TemporaryDirectory() as td:
+            queries["dict_compile_100k_rows"] = _timed(
+                lambda: compile_dictionaries(td, source_df=big)
+            )
 
     result = {
         "metric": "kg_pipeline_sec_sf" + SF_DIR.rsplit("sf", 1)[-1],

@@ -61,6 +61,7 @@ class CompiledDicts:
     synonyms_path: str
     metadata_path: str
     curations_path: str
+    xrefs_path: str | None = None
 
 
 def score_and_group_ids(
@@ -249,4 +250,9 @@ def compile_dictionaries(
     ]
     table = pa.concat_tables(batches) if batches else SYNONYMS_SCHEMA.empty_table()
     pq.write_table(table, synonyms_path)
-    return CompiledDicts(synonyms_path, metadata_path, curations_path)
+
+    from .synth import xref_frame
+
+    xrefs_path = os.path.join(out_dir, "xrefs.parquet")
+    pq.write_table(pa.Table.from_pandas(xref_frame(), preserve_index=False), xrefs_path)
+    return CompiledDicts(synonyms_path, metadata_path, curations_path, xrefs_path)

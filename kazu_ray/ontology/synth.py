@@ -112,6 +112,27 @@ _SOURCES: list[tuple[str, str, str, list[str], int]] = [
 ]
 
 
+# cross-references between KBs (OXO-dump-shaped, reference
+# steps/linking/post_processing/xref_manager.py:41-106): gene ENSG ids to
+# HGNC CURIEs; diseases to a UMLS-shaped id
+XREFS: list[tuple[str, str, str, str]] = [
+    # (parser_name, idx, xref_source, xref_idx)
+    ("OT_TARGET", "ENSG00000146648", "HGNC", "HGNC:3236"),
+    ("OT_TARGET", "ENSG00000141736", "HGNC", "HGNC:3430"),
+    ("OT_TARGET", "ENSG00000141510", "HGNC", "HGNC:11998"),
+    ("OT_TARGET", "ENSG00000111276", "HGNC", "HGNC:1785"),
+    ("OT_TARGET", "ENSG00000012048", "HGNC", "HGNC:1100"),
+    ("MONDO", "MONDO_0005233", "UMLS", "UMLS:C0007131"),
+    ("MONDO", "MONDO_0007254", "UMLS", "UMLS:C0006142"),
+]
+
+
+def xref_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        XREFS, columns=["parser_name", "idx", "xref_source", "xref_idx"]
+    )
+
+
 def find_kb(idx: str) -> str:
     """Derive the source KB from a CURIE prefix (reference parsers'
     ``find_kb`` overrides, parsers.py)."""

@@ -48,6 +48,9 @@ MAPPING_STRUCT = pa.struct(
         ("string_match_confidence", pa.string()),
         ("disambiguation_strategy", pa.string()),
         ("disambiguation_confidence", pa.string()),
+        # non-empty when this mapping was fanned out from another parser's
+        # grounding via the xref table (reference Mapping.xref_source_parser_name)
+        ("xref_source_parser_name", pa.string()),
     ]
 )
 

@@ -173,9 +173,11 @@ def build_doc(doc_id_int: int, filler_text: str) -> tuple[dict, list[dict]]:
     if filler_rest:
         b.add_text_span("text", filler_rest + ". ")
 
+    media_kinds = ("image", "audio", "video")
     for parts in sentences:
         if rng.random() < 0.12:
-            b.add_media_span("image", f"media://{doc_id}/{len(b.spans)}")
+            kind = media_kinds[int(rng.integers(len(media_kinds)))]
+            b.add_media_span(kind, f"media://{doc_id}/{len(b.spans)}")
         text, mentions = _render_template(parts)
         kind = "abstract" if rng.random() < 0.5 else "text"
         b.add_text_span(kind, text + " ", mentions)

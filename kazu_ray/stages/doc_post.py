@@ -242,6 +242,7 @@ class MappingCascade:
                     "string_match_confidence": res.match_confidence,
                     "disambiguation_strategy": res.strategy,
                     "disambiguation_confidence": res.confidence,
+                    "xref_source_parser_name": "",
                 }
             )
         return out
@@ -494,11 +495,22 @@ def _pick_preferred(group: list[dict]) -> dict:
 class DocPostProcessor:
     """Actor-pool UDF over doc rows; ``spans`` passes through verbatim."""
 
-    def __init__(self, synonyms_path: str, metadata_path: str):
+    def __init__(self, synonyms_path: str, metadata_path: str,
+                 xrefs_path: str | None = None):
         self.synonyms = load_synonyms(synonyms_path)
         self.metadata = load_metadata(metadata_path)
         self.embedder = HashedNgramEmbedder()
         self.cascade = MappingCascade(self.synonyms, self.metadata, self.embedder)
+        # optional cross-reference fan-out (reference CrossReferenceManager,
+        # xref_manager.py:41-106; disabled unless an xref table is given)
+        self.xrefs: dict[tuple[str, str], list[tuple[str, str]]] = {}
+        if xrefs_path:
+            import pyarrow.parquet as _pq
+
+            for r in _pq.read_table(xrefs_path).to_pylist():
+                self.xrefs.setdefault((r["parser_name"], r["idx"]), []).append(
+                    (r["xref_source"], r["xref_idx"])
+                )
 
     def process_doc(
         self,
@@ -511,9 +523,29 @@ class DocPostProcessor:
             entities = [dict(e) for e in entities]
         entities = expand_abbreviations(spans, entities, span_toks)
         self.cascade.run(spans, entities)
+        if self.xrefs:
+            self._fan_out_xrefs(entities)
         entities = cleanup_entities(entities)
         entities = merge_overlapping(entities)
         return entities
+
+    def _fan_out_xrefs(self, entities: list[dict]) -> None:
+        """Append cross-KB mappings for every grounded mapping with an
+        xref (reference strategy_runner.py:324-333)."""
+        for e in entities:
+            extra = []
+            for m in e["mappings"]:
+                for src, xid in self.xrefs.get((m["parser_name"], m["idx"]), ()):
+                    extra.append(
+                        {
+                            **m,
+                            "source": src,
+                            "idx": xid,
+                            "xref_source_parser_name": m["parser_name"],
+                        }
+                    )
+            if extra:
+                e["mappings"] = e["mappings"] + extra
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch.column("spans").to_pylist()
