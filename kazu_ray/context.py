@@ -15,4 +15,7 @@ def tune_context():
     # output order is never semantically meaningful in this engine
     # (edges/nodes are sets; queries sort explicitly when they need order)
     ctx.execution_options.preserve_order = False
+    # NOTE: max_tasks_in_flight_per_actor was evaluated at 16 and is 3x
+    # WORSE than the default here (deep per-actor queues cause
+    # head-of-line blocking at the tail of the stage) — leave default.
     return ctx

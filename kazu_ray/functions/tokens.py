@@ -33,6 +33,8 @@ _SOFT_QUOTE = "'"
 _SOFT_DOT = "."
 
 _CHUNK = re.compile(r"\S+")
+# chunks containing none of these need no further splitting (fast path)
+_NEEDS_SPLIT = re.compile(r"[()\[\]{}<>=/;:!?\"“”‘’',.]")
 
 
 def _split_chunk(chunk: str, base: int, out: list[Token]) -> None:
@@ -72,7 +74,11 @@ def _split_chunk(chunk: str, base: int, out: list[Token]) -> None:
 def tokenize(text: str) -> list[Token]:
     out: list[Token] = []
     for m in _CHUNK.finditer(text):
-        _split_chunk(m.group(), m.start(), out)
+        chunk = m.group()
+        if _NEEDS_SPLIT.search(chunk) is None:  # plain word: common case
+            out.append(Token(m.start(), m.end(), chunk))
+        else:
+            _split_chunk(chunk, m.start(), out)
     return out
 
 

@@ -1,14 +1,18 @@
 """The flagship KG-construction pipeline.
 
-    interleaved docs (doc_id, spans)
-      -> map_batches(DictionaryNer, actor pool)      # joint NER + exact link
-      -> map_batches(DocPostProcessor, actor pool)   # abbrev + cascade +
-                                                     # cleanup + merge (doc-local)
-      -> map_batches(emit_triples)                   # flatten
-      -> partial agg -> groupby(subj,pred,obj)       # canonicalize (shuffle)
-      -> write edges/nodes parquet                   # partitioned, resumable
+Two equivalent paths over interleaved docs (doc_id, spans):
 
-Mirrors the reference's default step order
+- ``annotate()``: staged actor pools (dictionary NER -> optional
+  transformer NER -> fuzzy linking -> doc-local post-processing),
+  returning docs with a final ``entities`` column — the
+  inspection/debug/entity-level path.
+- ``edges_pipeline()``: the throughput path — ONE fused actor pool
+  (NER + abbrev + cascade + cleanup + merge + triple emission per doc,
+  python dicts in-memory between the fused steps), then the per-batch
+  combiner and the two-tier canonicalization (mentions bypass the
+  shuffle; ontology-bounded preds aggregate).
+
+Both mirror the reference's default step order
 (/root/reference/kazu/conf/Pipeline/default.yaml:4-12) with the
 document-local steps fused (SURVEY.md §7 stage 6).  The ``spans`` column
 is never modified by any stage (per-row span-sequence invariant).

@@ -41,7 +41,10 @@ class DictionaryNer:
     def match_span_text(self, text: str, span_idx: int, toks=None) -> list[dict]:
         if toks is None:
             toks = tokenize(text)
-        lowered = [t.text.lower() for t in toks]
+        ltext = text.lower()  # one pass; probe keys are slices of this
+        if len(ltext) != len(text):  # rare unicode case-fold length change
+            ltext = "".join(c.lower()[0] if c.lower() else c for c in text)
+        lowered = [ltext[t.start:t.end] for t in toks]
         n_toks = len(toks)
         by_surface = self.table.by_surface
         first = self.table.first_tokens
@@ -50,13 +53,13 @@ class DictionaryNer:
         for i in range(n_toks):
             if lowered[i] not in first:
                 continue
+            start = toks[i].start
             for n in range(1, min(max_n, n_toks - i) + 1):
-                start = toks[i].start
                 end = toks[i + n - 1].end
-                surface = text[start:end]
-                entries = by_surface.get(surface.lower())
+                entries = by_surface.get(ltext[start:end])
                 if not entries:
                     continue
+                surface = text[start:end]
                 # group by entity class; resolve confidence as max across
                 # parsers; drop case-sensitive entries on case mismatch
                 by_class: dict[str, list] = {}
