@@ -138,6 +138,39 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(_):
+    import time as _t
+
+    s = 0
+    t0 = _t.process_time()
+    x = 0
+    while _t.process_time() - t0 < 2.0:
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        s += 1
+    return s
+
+
+def hardware_scaling(n: int) -> float:
+    """Pure-CPU busy-loop throughput ratio (4n procs vs n procs) / 4.
+
+    This sandbox VM shows time-varying hypervisor steal: even ideal,
+    zero-coordination python compute does not always scale linearly with
+    process count.  Measuring the ceiling in the same session lets the
+    pipeline's scaling efficiency be read against what the hardware
+    could do at that moment (on a real N vs 4N node cluster, nodes are
+    independent machines and this ceiling is 1.0)."""
+    import multiprocessing as mp
+
+    def measure(nproc: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(nproc) as p:
+            res = p.map(_burn, range(nproc))
+        return sum(res) / (time.perf_counter() - t0)
+
+    lo, hi = measure(n), measure(4 * n)
+    return (hi / lo) / 4
+
+
 def run_scaling() -> dict:
     """Same job, same input, fresh processes at N and 4N CPUs.
 
@@ -165,6 +198,7 @@ def run_scaling() -> dict:
     # two alternating rounds per level, min wall per level: the sandbox
     # host shows multi-second cross-run noise (hypervisor steal, teardown
     # residue); the per-level minimum is the stable estimator
+    hw_eff_before = hardware_scaling(n)
     hi = run(4 * n)
     lo = run(n)
     hi2 = run(4 * n)
@@ -173,6 +207,8 @@ def run_scaling() -> dict:
         hi = hi2
     if lo2["value"] < lo["value"]:
         lo = lo2
+    hw_eff_after = hardware_scaling(n)
+    hw_eff = max(hw_eff_before, hw_eff_after)
     tput_lo = lo["docs_per_sec"]
     tput_hi = hi["docs_per_sec"]
     eff = (tput_hi / tput_lo) / 4
@@ -187,6 +223,10 @@ def run_scaling() -> dict:
         f"docs_per_sec_{n}": tput_lo,
         f"docs_per_sec_{4*n}": tput_hi,
         "scaling_efficiency": round(eff, 3),
+        # same-session busy-loop ceiling: what IDEAL code scales to on
+        # this host right now (1.0 on a real multi-node cluster)
+        "hardware_ceiling_efficiency": round(hw_eff, 3),
+        "efficiency_vs_hardware_ceiling": round(min(eff / hw_eff, 1.5), 3),
         "sf": lo["sf"],
     }
 
