@@ -74,7 +74,11 @@ def run_bench() -> dict:
     # interleaved corpus once (untimed) and time the engine on it
     docs = interleaved_docs(SF_DIR, repeat=REPEAT).materialize()
     n_docs = docs.count()
-    pool = max(2, NUM_CPUS - 2)  # leave headroom for read/shuffle tasks
+    # fixed full-size pool: the input is materialized, so the actor stage
+    # cannot starve its own producer; downstream shuffle tasks interleave
+    # as actors drain (measured faster than reserving headroom CPUs at
+    # every level, and symmetric across scaling levels)
+    pool = NUM_CPUS
 
     def kg():
         edges = edges_pipeline(docs, dicts, concurrency=(pool, pool)).materialize()

@@ -1,0 +1,81 @@
+"""Declarative pipeline configuration.
+
+The reference wires its pipeline from a Hydra config tree
+(/root/reference/kazu/conf/config.yaml, Pipeline/default.yaml with
+``step_groups`` like ner_only / linking_only).  The equivalent here is a
+plain dataclass naming stages and parameters plus a registry — no
+framework, introspectable, serializable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# step groups mirroring conf/Pipeline/default.yaml:16-22
+STEP_GROUPS: dict[str, tuple[str, ...]] = {
+    "default": ("prefilter", "dict_ner", "doc_post"),
+    "full": ("prefilter", "dict_ner", "transformer_ner", "linking", "doc_post"),
+    "ner_only": ("prefilter", "dict_ner", "transformer_ner"),
+    "linking_only": ("linking", "doc_post"),
+}
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    steps: tuple[str, ...] = STEP_GROUPS["default"]
+    batch_size: int = 256
+    concurrency: int = 4
+    actor_num_cpus: float = 1.0
+    skip_doc_len: int = 200_000
+    xrefs: bool = False
+
+    @classmethod
+    def from_group(cls, group: str, **overrides) -> "PipelineConfig":
+        return cls(steps=STEP_GROUPS[group], **overrides)
+
+
+def build(docs_ds, dicts, config: PipelineConfig):
+    """Assemble the staged pipeline from a config; returns the annotated
+    docs Dataset (use pipelines.kg.edges_pipeline for the fused
+    edges-only path)."""
+    from ..stages.dict_ner import DictionaryNer
+    from ..stages.doc_post import DocPostProcessor
+    from .kg import prefilter_batch
+
+    pool = (1, config.concurrency)
+    common = dict(
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=pool,
+        num_cpus=config.actor_num_cpus,
+    )
+    ds = docs_ds
+    for step in config.steps:
+        if step == "prefilter":
+            ds = ds.map_batches(prefilter_batch, batch_format="pyarrow")
+        elif step == "dict_ner":
+            ds = ds.map_batches(
+                DictionaryNer,
+                fn_constructor_args=(dicts.curations_path, dicts.synonyms_path),
+                **common,
+            )
+        elif step == "transformer_ner":
+            from ..stages.transformer_ner import TransformerNer
+
+            ds = ds.map_batches(TransformerNer, **common)
+        elif step == "linking":
+            from ..stages.linking import TfIdfLinker
+
+            ds = ds.map_batches(
+                TfIdfLinker, fn_constructor_args=(dicts.synonyms_path,), **common
+            )
+        elif step == "doc_post":
+            args = [dicts.synonyms_path, dicts.metadata_path]
+            if config.xrefs:
+                args.append(dicts.xrefs_path)
+            ds = ds.map_batches(
+                DocPostProcessor, fn_constructor_args=tuple(args), **common
+            )
+        else:
+            raise ValueError(f"unknown step {step!r}")
+    return ds
