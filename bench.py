@@ -31,7 +31,7 @@ for _v in ("POLARS_MAX_THREADS", "OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
 # corpus amplifier: each base document row yields REPEAT distinct
 # interleaved documents (deterministic), so the headline measures
 # compute/shuffle, not fixed session overhead
-REPEAT = int(os.environ.get("GRAFT_REPEAT", "96"))
+REPEAT = int(os.environ.get("GRAFT_REPEAT", "192"))
 
 
 def _timed(fn):
