@@ -496,11 +496,19 @@ class DocPostProcessor:
     """Actor-pool UDF over doc rows; ``spans`` passes through verbatim."""
 
     def __init__(self, synonyms_path: str, metadata_path: str,
-                 xrefs_path: str | None = None):
+                 xrefs_path: str | None = None,
+                 class_rules: dict | None = None,
+                 mention_rules: dict | None = None):
         self.synonyms = load_synonyms(synonyms_path)
         self.metadata = load_metadata(metadata_path)
         self.embedder = HashedNgramEmbedder()
         self.cascade = MappingCascade(self.synonyms, self.metadata, self.embedder)
+        # rules-based entity-class disambiguation filter (runs before the
+        # cascade, mirroring the reference default step order); no-op
+        # unless rules are configured
+        from .class_filter import ClassDisambiguationFilter
+
+        self.class_filter = ClassDisambiguationFilter(class_rules, mention_rules)
         # optional cross-reference fan-out (reference CrossReferenceManager,
         # xref_manager.py:41-106; disabled unless an xref table is given)
         self.xrefs: dict[tuple[str, str], list[tuple[str, str]]] = {}
@@ -521,6 +529,7 @@ class DocPostProcessor:
     ) -> list[dict]:
         if copy_entities:  # callers that keep the input entity dicts
             entities = [dict(e) for e in entities]
+        entities = self.class_filter.apply(spans, entities)
         entities = expand_abbreviations(spans, entities, span_toks)
         self.cascade.run(spans, entities)
         if self.xrefs:
