@@ -135,6 +135,9 @@ class AnnotateEmitTriples:
         self.failed_docs = 0  # per-actor failure counter (row isolation)
 
     def __call__(self, batch):
+        import numpy as np
+        import pyarrow.compute as pc
+
         from ..functions.tokens import tokenize
         from ..stages.triples import doc_triples, new_triple_columns, triple_columns_to_table
 
@@ -144,23 +147,29 @@ class AnnotateEmitTriples:
             if "error" in batch.schema.names
             else [None] * len(batch)
         )
-        for doc_id, spans, err in zip(
-            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist(), errors
-        ):
+        # columnar extraction: only the text field leaves Arrow (no per-span
+        # dict materialization for the corpus-sized spans column)
+        spans_col = batch.column("spans")
+        lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
+        flat_texts = pc.list_flatten(spans_col).combine_chunks().field("text").to_pylist()
+        bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=bounds[1:])
+        for r, (doc_id, err) in enumerate(zip(batch.column("doc_id").to_pylist(), errors)):
             if err is not None:
                 continue  # dead-letter doc: emits nothing
-            if sum(len(sp["text"]) for sp in spans) > MAX_DOC_CHARS:
+            texts = flat_texts[bounds[r] : bounds[r + 1]]
+            if sum(len(t) for t in texts) > MAX_DOC_CHARS:
                 continue  # skip-doc guard (reference pipeline.py:138-155)
             try:
                 ents = []
                 span_toks = {}
-                for idx, sp in enumerate(spans):
-                    if sp["text"]:
-                        toks = tokenize(sp["text"])
+                for idx, t in enumerate(texts):
+                    if t:
+                        toks = tokenize(t)
                         span_toks[idx] = toks
-                        ents.extend(self.ner.match_span_text(sp["text"], idx, toks))
+                        ents.extend(self.ner.match_span_text(t, idx, toks))
                 final = self.post.process_doc(
-                    spans, ents, span_toks=span_toks, copy_entities=False
+                    texts, ents, span_toks=span_toks, copy_entities=False
                 )
                 doc_triples(doc_id, final, out)
             except Exception:  # noqa: BLE001 — per-row failure isolation

@@ -71,7 +71,8 @@ class ClassDisambiguationFilter:
                 continue
             considered.append(e)
             key = (e["match"], cls)
-            text = spans[e["span_idx"]]["text"]
+            sp = spans[e["span_idx"]]
+            text = sp["text"] if isinstance(sp, dict) else sp
             sentence = self._sentence_of(text, e["start"], sent_cache)
             for rules in rules_list:
                 for aspect, cfg_map, hit_map in (

@@ -56,6 +56,13 @@ ENT_CLASS_PREFERRED_ORDER = [
 CONTEXT_SIM_THRESHOLD = 0.70  # reference TfIdfDisambiguationStrategy threshold
 
 
+def _span_texts(spans: list) -> list[str]:
+    """Accept either span structs (dicts) or bare text strings."""
+    if spans and isinstance(spans[0], dict):
+        return [sp["text"] for sp in spans]
+    return spans
+
+
 # ---------------------------------------------------------------------------
 # Schwartz–Hearst abbreviation detection
 # ---------------------------------------------------------------------------
@@ -141,18 +148,17 @@ def find_abbreviation_definitions(
 
 
 def expand_abbreviations(
-    spans: list[dict], entities: list[dict], span_toks: dict[int, list[Token]] | None = None
+    spans: list, entities: list[dict], span_toks: dict[int, list[Token]] | None = None
 ) -> list[dict]:
     """Document-wide abbreviation override (reference
     KazuAbbreviationDetector.__call__:263-286): for each detected
     definition whose long form is an entity, every occurrence of the
     short form anywhere in the document replaces its local entities with
     copies of the long-form entities."""
+    texts = _span_texts(spans)
     # tokenize text spans once (or reuse the NER stage's tokens)
     if span_toks is None:
-        span_toks = {
-            i: tokenize(sp["text"]) for i, sp in enumerate(spans) if sp["text"]
-        }
+        span_toks = {i: tokenize(t) for i, t in enumerate(texts) if t}
 
     # index entities by (span_idx, start, end)
     ents_at: dict[tuple[int, int, int], list[dict]] = {}
@@ -164,9 +170,9 @@ def expand_abbreviations(
     seen_long: set[str] = set()
     for si, toks in span_toks.items():
         for long_span, _short_span, short_text in find_abbreviation_definitions(
-            toks, spans[si]["text"]
+            toks, texts[si]
         ):
-            long_text = spans[si]["text"][long_span[0] : long_span[1]]
+            long_text = texts[si][long_span[0] : long_span[1]]
             if long_text in seen_long or short_text in short_to_sources:
                 continue
             seen_long.add(long_text)
@@ -395,7 +401,7 @@ class MappingCascade:
         # computed once per doc, only if anything ambiguous remains)
         ctx_vec = None
         if deferred:
-            doc_context = " ".join(sp["text"] for sp in spans if sp["text"])
+            doc_context = " ".join(t for t in _span_texts(spans) if t)
             if doc_context:
                 ctx_vec = self.embedder.encode(doc_context[:2000])
         for e, parser, id_sets, strategy, match_conf in deferred:

@@ -24,7 +24,9 @@ def test_one_poison_doc_is_skipped(compiled_dicts, monkeypatch):
     real = actor.post.process_doc
 
     def poisoned(spans, ents, **kw):
-        if any("POISON" in sp["text"] for sp in spans):
+        # the fused actor passes bare span texts
+        texts = [sp["text"] if isinstance(sp, dict) else sp for sp in spans]
+        if any("POISON" in t for t in texts):
             raise RuntimeError("boom")
         return real(spans, ents, **kw)
 
