@@ -90,3 +90,70 @@ def boundary_sets(text: str) -> tuple[set[int], set[int]]:
         starts.add(t.start)
         ends.add(t.end)
     return starts, ends
+
+
+def is_token_start(text: str, s: int) -> bool:
+    """O(1) equivalent of ``s in boundary_sets(text)[0]`` — lets a
+    batch matcher validate word boundaries per match without tokenizing
+    the whole span (property-tested against the tokenizer)."""
+    n_len = len(text)
+    if s <= 0:
+        return s == 0
+    if s >= n_len:
+        return False
+    c = text[s]
+    # punctuation at s that forms its own token starts a token there
+    if c in _HARD_SPLIT:
+        return True
+    if c == _SOFT_COMMA and not (
+        text[s - 1].isdigit() and s + 1 < n_len and text[s + 1].isdigit()
+    ):
+        return True
+    if c == _SOFT_DOT and (s + 1 >= n_len or not text[s + 1].isalnum()):
+        return True
+    if c == _SOFT_QUOTE and (s + 1 >= n_len or text[s + 1].isspace()):
+        return True
+    p = text[s - 1]
+    if p.isspace() or p in _HARD_SPLIT:
+        return True
+    if p == _SOFT_COMMA:
+        # comma kept inside digit groups (1,000)
+        return not (s >= 2 and text[s - 2].isdigit() and c.isdigit())
+    if p == _SOFT_DOT:
+        # the dot was split off iff the char after it is not alnum
+        return not c.isalnum()
+    if p == _SOFT_QUOTE:
+        # apostrophe splits only at chunk edges (leading quote)
+        return s < 2 or text[s - 2].isspace()
+    return False
+
+
+def is_token_end(text: str, e: int) -> bool:
+    """O(1) equivalent of ``e in boundary_sets(text)[1]``."""
+    n_len = len(text)
+    if e >= n_len:
+        return e == n_len
+    if e <= 0:
+        return False
+    last = text[e - 1]
+    # punctuation just before e that forms its own token ends a token at e
+    if last in _HARD_SPLIT:
+        return True
+    if last == _SOFT_COMMA and not (
+        e >= 2 and text[e - 2].isdigit() and text[e].isdigit()
+    ):
+        return True
+    if last == _SOFT_DOT and not text[e].isalnum():
+        return True
+    if last == _SOFT_QUOTE and (e < 2 or text[e - 2].isspace()):
+        return True
+    n = text[e]
+    if n.isspace() or n in _HARD_SPLIT:
+        return True
+    if n == _SOFT_COMMA:
+        return not (last.isdigit() and e + 1 < n_len and text[e + 1].isdigit())
+    if n == _SOFT_DOT:
+        return e + 1 >= n_len or not text[e + 1].isalnum()
+    if n == _SOFT_QUOTE:
+        return e + 1 >= n_len or text[e + 1].isspace()
+    return False

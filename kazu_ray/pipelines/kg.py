@@ -138,7 +138,6 @@ class AnnotateEmitTriples:
         import numpy as np
         import pyarrow.compute as pc
 
-        from ..functions.tokens import tokenize
         from ..stages.triples import doc_triples, new_triple_columns, triple_columns_to_table
 
         out = new_triple_columns()
@@ -154,23 +153,28 @@ class AnnotateEmitTriples:
         flat_texts = pc.list_flatten(spans_col).combine_chunks().field("text").to_pylist()
         bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=bounds[1:])
-        for r, (doc_id, err) in enumerate(zip(batch.column("doc_id").to_pylist(), errors)):
-            if err is not None:
-                continue  # dead-letter doc: emits nothing
+        doc_ids = batch.column("doc_id").to_pylist()
+        # skip-doc guard + dead-letter masking BEFORE matching, so the
+        # automaton never sees skipped docs
+        skip = [False] * len(doc_ids)
+        for r, err in enumerate(errors):
             texts = flat_texts[bounds[r] : bounds[r + 1]]
-            if sum(len(t) for t in texts) > MAX_DOC_CHARS:
-                continue  # skip-doc guard (reference pipeline.py:138-155)
+            if err is not None or sum(len(t) for t in texts) > MAX_DOC_CHARS:
+                skip[r] = True  # reference skip_doc_len guard, pipeline.py:138-155
+                for i in range(bounds[r], bounds[r + 1]):
+                    flat_texts[i] = ""
+        # ONE native automaton pass over every span in the batch
+        span_idxs = [i for n in lengths for i in range(n)]
+        per_span = self.ner.match_texts(flat_texts, span_idxs)
+        for r, doc_id in enumerate(doc_ids):
+            if skip[r]:
+                continue
+            texts = flat_texts[bounds[r] : bounds[r + 1]]
             try:
                 ents = []
-                span_toks = {}
-                for idx, t in enumerate(texts):
-                    if t:
-                        toks = tokenize(t)
-                        span_toks[idx] = toks
-                        ents.extend(self.ner.match_span_text(t, idx, toks))
-                final = self.post.process_doc(
-                    texts, ents, span_toks=span_toks, copy_entities=False
-                )
+                for span_ents in per_span[bounds[r] : bounds[r + 1]]:
+                    ents.extend(span_ents)
+                final = self.post.process_doc(texts, ents, copy_entities=False)
                 doc_triples(doc_id, final, out)
             except Exception:  # noqa: BLE001 — per-row failure isolation
                 # mirror of the reference's document_iterating_step error

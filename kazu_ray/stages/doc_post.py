@@ -156,6 +156,9 @@ def expand_abbreviations(
     short form anywhere in the document replaces its local entities with
     copies of the long-form entities."""
     texts = _span_texts(spans)
+    # fast path: no parenthesis anywhere -> no definitions possible
+    if not any("(" in t for t in texts):
+        return entities
     # tokenize text spans once (or reuse the NER stage's tokens)
     if span_toks is None:
         span_toks = {i: tokenize(t) for i, t in enumerate(texts) if t}
