@@ -84,8 +84,12 @@ def partial_edge_agg(batch: pa.Table) -> pa.Table:
     )
 
 
-def canonicalize_edges(triples_ds):
+def canonicalize_edges(triples_ds, pre_aggregated: bool = False):
     """triples Dataset -> canonical edges Dataset.
+
+    ``pre_aggregated=True`` when upstream already applied the per-batch
+    combiner (the fused actor does) — the input is then edge-schema
+    partial rows rather than raw triples.
 
     Two-tier canonicalization:
 
@@ -109,7 +113,12 @@ def canonicalize_edges(triples_ds):
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Sum
 
-    partial = triples_ds.map_batches(partial_edge_agg, batch_format="pyarrow").materialize()
+    if pre_aggregated:
+        partial = triples_ds.materialize()
+    else:
+        partial = triples_ds.map_batches(
+            partial_edge_agg, batch_format="pyarrow"
+        ).materialize()
     mentions = partial.map_batches(
         lambda t: t.filter(pc.equal(t["pred"], "mentions")), batch_format="pyarrow"
     )
