@@ -290,11 +290,13 @@ def run_partitioned(
             dl.write_parquet(os.path.join(out_dir, "dead_letter", f"part={part}"))
         edges_path = os.path.join(out_dir, "edges", f"part={part}")
         nodes_path = os.path.join(out_dir, "nodes", f"part={part}")
-        n_edges = edges.count()  # already materialized by build_graph
-        edges.write_parquet(edges_path)
+        from ..sinks import write_table_dir
+
+        n_edges = edges.count()  # already materialized
+        table_fmt = write_table_dir(edges, edges_path)
         nodes = nodes.materialize()
         n_nodes = nodes.count()
-        nodes.write_parquet(nodes_path)
+        write_table_dir(nodes, nodes_path)
         rec = {
             "status": "complete",
             "partition": part,
@@ -303,6 +305,7 @@ def run_partitioned(
             "n_edges": n_edges,
             "n_nodes": n_nodes,
             "n_failed_docs": n_failed,
+            "table_format": table_fmt,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         with open(lineage_path + ".tmp", "w") as f:
