@@ -212,6 +212,46 @@ def golden_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=GOLDEN_SCHEMA)
 
 
+def docs_from_texts(texts: list[str], prefix: str = "doc"):
+    """Simple-document constructor (reference
+    Document.create_simple_document, data.py:614-622): one text span per
+    document."""
+    import ray.data as rd
+
+    rows = [
+        {
+            "doc_id": f"{prefix}-{i:08d}",
+            "spans": [{"kind": "text", "text": t, "media_ref": "", "offset": 0}],
+        }
+        for i, t in enumerate(texts)
+    ]
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCS_SCHEMA))
+
+
+def docs_from_sections(section_texts: list[dict[str, str]], prefix: str = "doc"):
+    """Named-section constructor (reference
+    Document.from_named_section_texts, data.py:624-631): one span per
+    (name -> text) item, span kind = section name."""
+    import ray.data as rd
+
+    rows = []
+    for i, sections in enumerate(section_texts):
+        offset = 0
+        spans = []
+        for name, text in sections.items():
+            spans.append({"kind": name, "text": text, "media_ref": "", "offset": offset})
+            offset += len(text)
+        rows.append({"doc_id": f"{prefix}-{i:08d}", "spans": spans})
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCS_SCHEMA))
+
+
+def read_interleaved(path: str):
+    """Read an existing interleaved-docs table (parquet/lance dir)."""
+    import ray.data as rd
+
+    return rd.read_parquet(path)
+
+
 def interleaved_docs(sf_dir: str, parallelism: int | None = None, repeat: int = 1):
     """documents.parquet -> Dataset[DOCS_SCHEMA], streaming transform."""
     import ray.data as rd
