@@ -138,12 +138,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from kazu_ray.relational import (
         q_customer_order_join,
+        q_customer_running_total,
         q_distinct_flags,
         q_events_hourly,
         q_lineitem_agg,
         q_orders_topk,
         q_part_semi_join,
+        q_part_size_hist,
         q_region_customer_counts,
+        q_supplier_nation_balance,
     )
 
     return {
@@ -162,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customer_counts": q_region_customer_counts,
         "customer_order_join": q_customer_order_join,
         "part_semi_join": q_part_semi_join,
+        "supplier_nation_balance": q_supplier_nation_balance,
+        "part_size_hist": q_part_size_hist,
+        "customer_running_total": q_customer_running_total,
         # --- text analysis (SQL oracles)
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -259,6 +265,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE p.p_type LIKE '%PROMO%'
             GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_nation_balance": """
+            SELECT n.n_name, ROUND(AVG(s.s_acctbal), 2) AS avg_balance,
+                   COUNT(*) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "part_size_hist": """
+            SELECT CAST(FLOOR(p_size / 10.0) AS BIGINT) AS size_bucket,
+                   COUNT(*) AS n_parts
+            FROM part GROUP BY 1 ORDER BY 1
+        """,
+        "customer_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey
         """,
         "doc_token_stats": f"""
             SELECT doc_id,

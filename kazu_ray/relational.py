@@ -245,3 +245,82 @@ def q_part_semi_join(sf_dir: str):
         .aggregate(Count(alias_name="n_items"))
         .sort("p_brand")
     )
+
+
+def q_supplier_nation_balance(sf_dir: str):
+    """Broadcast dim join + avg: supplier acctbal by nation name."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Mean
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [nmap.get(int(k)) for k in t["s_nationkey"].to_pylist()], type=pa.string()
+        )
+        return pa.Table.from_arrays([names, t["s_acctbal"]], names=["n_name", "s_acctbal"])
+
+    out = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Mean("s_acctbal", alias_name="avg_balance"), Count(alias_name="n_suppliers"))
+        .sort("n_name")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("avg_balance"), "avg_balance",
+            pc_round_sql(t["avg_balance"], 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_part_size_hist(sf_dir: str):
+    """Histogram: part count by size bucket (size // 10)."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet", columns=["p_size"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(pc.cast(t["p_size"], pa.float64()), 10.0)), pa.int64())
+        return pa.Table.from_arrays([b], names=["size_bucket"])
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("size_bucket")
+        .aggregate(Count(alias_name="n_parts"))
+        .sort("size_bucket")
+    )
+
+
+def q_customer_running_total(sf_dir: str):
+    """Per-customer running order total (window function): partition by
+    custkey, sort by (date, orderkey), cumulative sum per group."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        out = pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype("int64"),
+                "o_orderkey": g["o_orderkey"].astype("int64"),
+                "running_total": g["o_totalprice"].cumsum(),
+            }
+        )
+        from kazu_ray.functions.rounding import round_half_away
+
+        out["running_total"] = round_half_away(out["running_total"].to_numpy(), 2)
+        return out
+
+    return (
+        ds.groupby("o_custkey")
+        .map_groups(running, batch_format="pandas")
+        .sort(["o_custkey", "o_orderkey"])
+    )
