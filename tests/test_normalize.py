@@ -83,11 +83,12 @@ def test_normalize_parity(s, cls, expected_norm, expected_sym):
     assert classify_symbolic(s, cls) is expected_sym
 
 
-def test_idempotent_on_normalized_keys():
-    # the dictionary side and the mention side use the same function, so
-    # double application must be stable for typical keys
+def test_key_agreement_between_dictionary_and_mention_side():
+    """The compile job keys synonyms with the same function the matcher
+    keys mentions with; a lowercase text variant (how a case-insensitive
+    dictionary hit arrives) must produce the dictionary's term_norm
+    whenever it classifies the same way."""
     for s, cls, norm, _ in GOLDEN:
-        again = normalize(norm, cls)
-        # not necessarily equal (normalization is not idempotent in the
-        # reference either), but must be deterministic
-        assert normalize(norm, cls) == again
+        variant = s.lower()
+        if variant != s and classify_symbolic(variant, cls) == classify_symbolic(s, cls):
+            assert normalize(variant, cls) == norm, (s, variant)
