@@ -1,114 +1,171 @@
 """Near-duplicate clustering: connected components over candidate pairs.
 
-Distributed min-label propagation (the standard groupby-iterate
-formulation): each round, every node adopts the smallest label among
-itself and its neighbours; converges in O(diameter) rounds.  Dedup
-components are tiny and shallow in practice, so a handful of rounds
-suffices; each round is a map + groupby(min) — no driver-side
-union-find over the full edge set.
+Fully dataset-native min-label propagation — no driver-side label map at
+any point (the round-1 implementation broadcast a python dict per round;
+that is O(dup-set) driver memory and dies at 10^12 docs).  Each round is:
+
+  1. edge hop:   edges(a,b) ⋈ labels(doc_id=a)  →  (doc_id=b, component)
+                 union labels → groupby(doc_id).min(component)
+  2. pointer jump: labels ⋈ labels on (component=doc_id) — every node
+                 adopts its root's label, doubling effective path length
+                 (log-rounds convergence, the classic Hash-to-Min /
+                 pointer-doubling trick from CC-in-MapReduce papers).
+
+Joins go through :func:`kazu_ray.joins.hash_join` (partition-wise
+pyarrow join inside groupby buckets) rather than ``Dataset.join`` —
+see joins.py for the Ray 2.49 empty-first-block schema-broadcast bug
+that breaks native joins on iterative small-block workloads.
+
+Convergence is detected with a scalar aggregate: labels only ever
+decrease (min over a set containing self), so sum(component) is strictly
+monotone until fixpoint — one cheap `Dataset.sum` per round replaces any
+driver-side diff of label maps.
+
+All exchanges are Ray Data shuffle joins / groupbys, so the label table
+lives in the object store, spills if needed, and partitions across the
+cluster.  Reference parity: this backs the dedup extras (no direct KAZU
+counterpart; KAZU is single-doc — see SURVEY.md §2 extras).
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from kazu_ray.joins import hash_join
 
 
-def connected_components(pairs_ds, max_rounds: int = 6):
+_EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+_LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+_PARENT_SCHEMA = pa.schema([("p_id", pa.int64()), ("p_comp", pa.int64())])
+
+
+def _symmetrize(t: pa.Table) -> pa.Table:
+    a = t.column("doc_a")
+    b = t.column("doc_b")
+    fwd = pa.table({"a": a, "b": b})
+    rev = pa.table({"a": b, "b": a})
+    return pa.concat_tables([fwd, rev]).combine_chunks()
+
+
+def connected_components(pairs_ds, max_rounds: int = 12, num_partitions: int = 8):
     """pairs Dataset (doc_a, doc_b) -> Dataset (doc_id, component)
     where component = min doc_id reachable.
 
     Only nodes that appear in at least one pair are returned (singletons
-    are their own components trivially)."""
-    import ray.data as rd
+    are their own components trivially).  Dataset-native throughout: the
+    driver sees only one scalar per round (the label-sum convergence
+    check); labels/edges stay in the object store.
+    """
     from ray.data.aggregate import Min
 
-    edges = pairs_ds.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "a": pa.concat_arrays(
-                    [t.column("doc_a").combine_chunks(), t.column("doc_b").combine_chunks()]
-                ),
-                "b": pa.concat_arrays(
-                    [t.column("doc_b").combine_chunks(), t.column("doc_a").combine_chunks()]
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    edges = pairs_ds.map_batches(_symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data as rd
 
-    import ray
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
 
-    # labels: start at min(self, min neighbour)
-    labels = edges.groupby("a").aggregate(Min("b", alias_name="nbr_min"))
-    labels = labels.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "doc_id": t.column("a"),
-                "component": pa.compute.min_element_wise(
-                    t.column("a").combine_chunks(), t.column("nbr_min").combine_chunks()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    # init: component = min(self, min neighbour)
+    labels = (
+        edges.groupby("a")
+        .aggregate(Min("b", alias_name="nbr_min"))
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "doc_id": t.column("a"),
+                    "component": pc.min_element_wise(
+                        t.column("a").combine_chunks(), t.column("nbr_min").combine_chunks()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    def _block_sum(mat_ds) -> int:
+        # convergence metric over an already-materialized label table:
+        # a driver-side scan of cached blocks (vectorized, no new Ray
+        # execution — labels only ever decrease, so sum is monotone
+        # until fixpoint)
+        total = 0
+        for b in mat_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                total += pc.sum(b.column("component")).as_py()
+        return total
+
+    prev_sum = _block_sum(labels)
 
     for _ in range(max_rounds):
-        # broadcast the current label map (bounded by the duplicated-node
-        # set, not the corpus) and push labels across edges; a
-        # shuffle-join variant replaces this broadcast when the label
-        # table outgrows the object store
-        lbl_map = {
-            r["doc_id"]: r["component"]
-            for b in labels.iter_batches(batch_format="pyarrow")
-            for r in b.to_pylist()
-        }
-        lbl_ref = ray.put(lbl_map)
-
-        def push(t: pa.Table) -> pa.Table:
-            m = ray.get(lbl_ref)
-            a = t.column("a").to_pylist()
-            b = t.column("b").to_pylist()
-            return pa.Table.from_pydict(
-                {
-                    "doc_id": b,
-                    "component": [m.get(x, x) for x in a],
-                }
-            )
-
-        prop = edges.map_batches(push, batch_format="pyarrow")
-        new_labels = (
+        # ONE Ray execution per round (in-session executions carry fixed
+        # overhead; 4 executions/round made long runs quadratic-feeling):
+        #   hop:  edges ⋈ labels → candidates, union old, min per node
+        #   jump: candidates ⋈ labels-as-parent (the PRE-hop table, which
+        #         is already materialized so the self-join doesn't fork
+        #         the lineage) — component <- parent[component].  Using
+        #         the slightly stale parent keeps monotonicity and still
+        #         compresses paths geometrically.
+        parent = labels.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"p_id": t.column("doc_id"), "p_comp": t.column("component")}
+            ),
+            batch_format="pyarrow",
+        )
+        prop = hash_join(
+            edges,
+            labels,
+            left_on="a",
+            right_on="doc_id",
+            how="inner",
+            num_partitions=num_partitions,
+            left_schema=_EDGE_SCHEMA,
+            right_schema=_LABEL_SCHEMA,
+        ).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"doc_id": t.column("b"), "component": t.column("component")}
+            ),
+            batch_format="pyarrow",
+        )
+        hopped = (
             prop.union(labels)
-            .groupby("doc_id")
+            .groupby("doc_id", num_partitions=num_partitions)
             .aggregate(Min("component", alias_name="component"))
+        )
+        labels = (
+            hash_join(
+                hopped,
+                parent,
+                left_on="component",
+                right_on="p_id",
+                how="left_outer",
+                num_partitions=num_partitions,
+                left_schema=_LABEL_SCHEMA,
+                right_schema=_PARENT_SCHEMA,
+            )
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "doc_id": t.column("doc_id"),
+                        "component": pc.coalesce(
+                            t.column("p_comp").combine_chunks(),
+                            t.column("component").combine_chunks(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            # sort-based map_groups emits one block per INPUT block, so
+            # label blocks would multiply ~3× per round without this
+            # lazy coalesce (still a single execution per round)
+            .repartition(num_partitions)
             .materialize()
         )
-        new_map = {
-            r["doc_id"]: r["component"]
-            for b in new_labels.iter_batches(batch_format="pyarrow")
-            for r in b.to_pylist()
-        }
-        # pointer-jumping path compression on the (small) label map:
-        # component -> component-of-component until fixpoint.  Turns the
-        # 1-hop-per-round propagation into logarithmic convergence.
-        for k in list(new_map):
-            root = new_map[k]
-            seen = []
-            while new_map.get(root, root) != root:
-                seen.append(root)
-                root = new_map[root]
-            new_map[k] = root
-            for s in seen:
-                new_map[s] = root
-        labels = rd.from_arrow(
-            pa.Table.from_pydict(
-                {
-                    "doc_id": pa.array(list(new_map.keys()), type=pa.int64()),
-                    "component": pa.array(list(new_map.values()), type=pa.int64()),
-                }
-            )
-        ).materialize()
-        if new_map == lbl_map:
+
+        s = _block_sum(labels)
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels.sort("doc_id")
 
 

@@ -27,3 +27,72 @@ def test_connected_components_long_chain(ray_session):
     # label propagation halves distance per round; 8 rounds cover dist 40?
     # min-label propagation with self-join converges ~2^rounds
     assert set(labels.values()) == {0}
+
+
+def _unionfind(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_unionfind_random(ray_session):
+    import random
+
+    import ray.data as rd
+
+    rng = random.Random(42)
+    n = 200
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    expected = _unionfind(pairs)
+    ds = rd.from_arrow(
+        pa.table({"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]})
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(ds).take_all()}
+    assert got == expected
+
+
+def test_neardup_components_golden_sf0001(ray_session):
+    """Pipeline-level: minhash candidates -> components must equal
+    brute-force union-find over the same candidate pairs (sf0.001)."""
+    from kazu_ray.extras.cluster import q_neardup_components
+    from kazu_ray.extras.dedup import q_minhash_candidates
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in q_minhash_candidates(sf).take_all()]
+    expected = _unionfind(pairs)
+    got = {
+        r["doc_id"]: r["component"] for r in q_neardup_components(sf).take_all()
+    }
+    assert got == expected
+
+
+def test_neardup_components_frozen_golden_sf001(ray_session):
+    """Frozen-fixture gate (VERDICT r1 item 1): sf0.01 components must
+    stay byte-identical to the round-1 output checked in as CSV."""
+    import csv
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.01"
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "neardup_components_sf0.01.csv")
+    if not os.path.exists(sf):
+        _pytest.skip("sf0.01 testdata absent")
+    with open(fixture) as f:
+        expected = {int(r["doc_id"]): int(r["component"]) for r in csv.DictReader(f)}
+    from kazu_ray.extras.cluster import q_neardup_components
+
+    got = {r["doc_id"]: r["component"] for r in q_neardup_components(sf).take_all()}
+    assert got == expected
