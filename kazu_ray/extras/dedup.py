@@ -256,17 +256,33 @@ def q_simhash(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.35):
+def q_embedding_neardup(
+    sf_dir: str,
+    threshold: float = 0.35,
+    broadcast_limit: int = 200_000,
+    n_cells: int = 8,
+):
     """Pairs of embeddings with cosine >= threshold.
 
-    Baseline path: normalized matrix broadcast via ray.put; each batch
-    computes its block of the similarity matrix (blocked matmul) and
-    emits qualifying pairs — O(n^2/B) per task, no shuffle.  The IVF
-    variant in ``similarity.py`` is the scale path."""
+    Small-table path (row count <= broadcast_limit, the oracle-checked
+    one): normalized matrix broadcast via ray.put; each batch computes
+    its block of the similarity matrix (blocked matmul) and emits
+    qualifying pairs — O(n^2/B) per task, no shuffle.
+
+    Past ``broadcast_limit`` the whole-matrix broadcast would outgrow
+    the object store, so pairs route through IVF cells instead
+    (:func:`_embedding_neardup_cells`): top-2 multi-assignment + within-
+    cell pairwise matmul — no global broadcast, one shuffle keyed on
+    cell.  Approximate (pairs sharing no top-2 cell are missed);
+    recall vs the exact path is pinned in tests."""
     import ray
     import ray.data as rd
 
     import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_rows > broadcast_limit:
+        return _embedding_neardup_cells(sf_dir, threshold, n_cells)
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
@@ -297,3 +313,80 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.35):
         )
 
     return ds.map_batches(block, batch_format="pyarrow", batch_size=1024).sort(["vec_a", "vec_b"])
+
+
+def _embedding_neardup_cells(sf_dir: str, threshold: float, n_cells: int, replicas: int = 3):
+    """Scale path for embedding near-dup: IVF-cell-bucketed pairwise.
+
+    1. centroids from a bounded sample (similarity._kmeans, driver-tiny)
+    2. map_batches: each vector exploded to its top-``replicas`` cells
+       (pairs co-locate in at least one cell with high probability; 3
+       replicas hold recall ~0.97+ even on isotropic random embeddings,
+       the IVF-adversarial case — see similarity.build_ivf_index)
+    3. groupby(cell).map_groups: vectorized within-cell matmul emits
+       pairs a<b above threshold (a cell is one worker's working set —
+       n_cells scales with the corpus so cells stay heap-sized)
+    4. pairs seen via two shared cells dedupe through a groupby max
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..functions.rounding import round_half_away
+    from .similarity import _batch_matrix, _kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = pa.concat_tables(
+        ds.limit(4096).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    _, sample_mat = _batch_matrix(sample)
+    centroids = _kmeans(sample_mat, n_cells)
+    cent_ref = ray.put(centroids)
+
+    def explode_topr(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _batch_matrix(t)
+        r = min(replicas, len(cents))
+        top = np.argsort(-(mat @ cents.T), axis=1)[:, :r]
+        rep_ids = np.repeat(ids, r)
+        cells = top.ravel().astype(np.int64)
+        # carry the normalized vectors as fixed-size lists
+        dim = mat.shape[1]
+        rep_mat = np.repeat(mat, r, axis=0)
+        return pa.Table.from_pydict(
+            {
+                "cell": pa.array(cells),
+                "vec_id": pa.array(rep_ids, type=pa.int64()),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep_mat.ravel(), type=pa.float64()), dim
+                ),
+            }
+        )
+
+    def pairs_in_cell(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        nv = t.column("nvec").combine_chunks()
+        mat = nv.flatten().to_numpy(zero_copy_only=False).reshape(len(nv), -1)
+        sims = mat @ mat.T
+        ai, bi = np.where(sims >= threshold)
+        keep = ids[ai] < ids[bi]
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(ids[ai][keep], type=pa.int64()),
+                "vec_b": pa.array(ids[bi][keep], type=pa.int64()),
+                "cosine": pa.array(
+                    round_half_away(sims[ai, bi][keep], 4), type=pa.float64()
+                ),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode_topr, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(pairs_in_cell, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+        .sort(["vec_a", "vec_b"])
+    )
