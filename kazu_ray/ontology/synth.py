@@ -134,8 +134,15 @@ def xref_frame() -> pd.DataFrame:
 
 
 def find_kb(idx: str) -> str:
-    """Derive the source KB from a CURIE prefix (reference parsers'
-    ``find_kb`` overrides, parsers.py)."""
+    """Derive the source KB from a CURIE prefix or OBO-style IRI
+    (reference parsers' ``find_kb`` overrides, parsers.py; the IRI
+    branch mirrors MondoOntologyParser.find_kb, parsers.py:902-908)."""
+    if idx.startswith("http://") or idx.startswith("https://"):
+        from urllib.parse import urlparse
+
+        tail = urlparse(idx).path.split("/")[-1]
+        kb = tail.split("_")[0]
+        return kb if kb else "UNKNOWN"
     for prefix, kb in (
         ("MONDO_", "MONDO"), ("CHEMBL", "CHEMBL"), ("ENSG", "ENSEMBL"),
         ("UBERON_", "UBERON"), ("CL_", "CL"), ("GO_", "GO"),

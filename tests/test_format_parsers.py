@@ -1,0 +1,198 @@
+"""Real ontology-format parsers (VERDICT r1 item 3): each format's
+fixture compiles through the standard compile job and the resulting
+frames match hand-computed expectations."""
+
+import os
+import re
+import sqlite3
+
+import pytest
+
+from kazu_ray.ontology.parsers import (
+    ChemblSqliteParser,
+    MeddraParser,
+    MondoJsonParser,
+    OboFlatParser,
+    RdfParser,
+    SkosXlParser,
+    TabularOntologyParser,
+    frames_from_parsers,
+    parse_turtle,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "ontology")
+
+
+def test_mondo_json_parser():
+    p = MondoJsonParser(os.path.join(FIX, "mondo_sample.json"), "disease", "MONDO")
+    df = p.parse_to_dataframe()
+    # 2 MONDO nodes (1 skipped for no label, 1 filtered by regex) + 1 HP node
+    ids = set(df["idx"])
+    assert ids == {
+        "http://purl.obolibrary.org/obo/MONDO_0004979",
+        "http://purl.obolibrary.org/obo/MONDO_0005148",
+        "http://purl.obolibrary.org/obo/HP_0002099",
+    }
+    asthma = df[df["default_label"] == "asthma"]
+    # label + 2 exact synonyms; related synonym excluded
+    assert sorted(asthma["syn"]) == ["asthma", "asthma bronchiale", "bronchial asthma"]
+    assert set(asthma["mapping_type"]) == {"lbl", "hasExactSynonym"}
+    assert "wheeze" not in set(df["syn"])
+    assert list(df["entity_class"].unique()) == ["disease"]
+
+
+def test_obo_flat_parser_names_only():
+    p = OboFlatParser(os.path.join(FIX, "cello_sample.obo"), "cell_line", "CELLOSAURUS",
+                      strip_text_re=re.compile("cell line", re.IGNORECASE))
+    df = p.parse_to_dataframe()
+    # synonyms disabled by default (reference behavior for cellosaurus)
+    assert len(df) == 3
+    assert sorted(df["syn"]) == ["A549", "HEK293", "HeLa"]  # "cell line" stripped
+    assert set(df["idx"]) == {"CVCL_0030", "CVCL_0031", "CVCL_0045"}
+
+
+def test_obo_flat_parser_with_synonyms():
+    p = OboFlatParser(os.path.join(FIX, "cello_sample.obo"), "cell_line", "CELLOSAURUS",
+                      parse_synonyms=True)
+    df = p.parse_to_dataframe()
+    hela = df[df["idx"] == "CVCL_0030"]
+    assert sorted(hela["syn"]) == ["He La", "HeLa cell line", "Hela"]
+    assert sorted(hela["mapping_type"]) == ["EXACT", "RELATED", "name"]
+
+
+def test_turtle_parser_triples():
+    store = parse_turtle(os.path.join(FIX, "disease_sample.ttl"))
+    objs = store.objects(
+        "http://purl.obolibrary.org/obo/MONDO_0002367",
+        "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym",
+    )
+    assert sorted(objs) == ["nephropathy", "renal disease"]
+
+
+def test_rdf_parser_with_exclusion():
+    p = RdfParser(
+        os.path.join(FIX, "disease_sample.ttl"),
+        "disease",
+        "MONDO_TTL",
+        uri_regex=r"^http://purl\.obolibrary\.org/obo/MONDO_[0-9]+$",
+        exclude_entity_patterns=(
+            ("http://www.w3.org/2002/07/owl#deprecated", "true"),
+        ),
+    )
+    df = p.parse_to_dataframe()
+    # deprecated node + wrong-namespace node excluded
+    assert set(df["default_label"]) == {"kidney disease", "type 1 diabetes mellitus"}
+    kidney = df[df["default_label"] == "kidney disease"]
+    assert sorted(kidney["syn"]) == ["kidney disease", "nephropathy", "renal disease"]
+
+
+def test_skosxl_parser_property_paths():
+    p = SkosXlParser(
+        os.path.join(FIX, "skos_sample.ttl"),
+        "disease",
+        "MEDDRA_SKOS",
+        uri_regex=r"^http://example\.org/meddra/[0-9]+$",
+    )
+    df = p.parse_to_dataframe()
+    pain = df[df["default_label"] == "Abdominal pain"]
+    assert sorted(pain["syn"]) == ["Abdominal pain", "Belly ache", "Stomach ache"]
+    assert set(df[df["default_label"] == "Nausea"]["syn"]) == {"Nausea"}
+
+
+def test_chembl_sqlite_parser(tmp_path):
+    db = tmp_path / "chembl.db"
+    conn = sqlite3.connect(db)
+    conn.executescript(
+        """
+        CREATE TABLE molecule_dictionary (molregno INTEGER, chembl_id TEXT, pref_name TEXT);
+        CREATE TABLE molecule_synonyms (molregno INTEGER, synonyms TEXT, syn_type TEXT);
+        INSERT INTO molecule_dictionary VALUES (1, 'CHEMBL25', 'ASPIRIN');
+        INSERT INTO molecule_dictionary VALUES (2, 'CHEMBL112', 'PARACETAMOL');
+        INSERT INTO molecule_dictionary VALUES (3, 'CHEMBL999', NULL);
+        INSERT INTO molecule_synonyms VALUES (1, 'Acetylsalicylic acid', 'TRADE_NAME');
+        INSERT INTO molecule_synonyms VALUES (1, 'Aspirin', 'INN');
+        INSERT INTO molecule_synonyms VALUES (2, 'Acetaminophen', 'INN');
+        INSERT INTO molecule_synonyms VALUES (3, 'Mystery drug', 'INN');
+        """
+    )
+    conn.commit()
+    conn.close()
+    df = ChemblSqliteParser(str(db)).parse_to_dataframe()
+    # null pref_name dropped entirely
+    assert "Mystery drug" not in set(df["syn"])
+    aspirin = df[df["idx"] == "CHEMBL25"]
+    assert sorted(aspirin["syn"]) == ["ASPIRIN", "Acetylsalicylic acid", "Aspirin"]
+    assert "pref_name" in set(aspirin["mapping_type"])
+
+
+def test_meddra_parser():
+    p = MeddraParser(os.path.join(FIX, "meddra"))
+    df = p.parse_to_dataframe()
+    # Investigations SOC excluded -> Biopsy absent
+    assert "Biopsy" not in set(df["syn"])
+    pain = df[df["idx"] == "10001551"]
+    assert sorted(pain["syn"]) == ["Abdominal pain", "Belly ache", "Stomach ache"]
+    # HLT/HLGT levels present once each
+    assert "GI signs" in set(df["syn"])
+    assert "GI disorders NEC" in set(df["syn"])
+    assert (df["mapping_type"] == "meddra_link").all()
+
+
+def test_tabular_parser():
+    p = TabularOntologyParser(
+        os.path.join(FIX, "tabular_sample.tsv"), "gene", "GENE_TSV", sep="\t"
+    )
+    df = p.parse_to_dataframe()
+    assert len(df) == 3
+    assert set(df[df["idx"] == "GENE:1"]["syn"]) == {
+        "epidermal growth factor receptor",
+        "ERBB1",
+    }
+
+
+def test_formats_compile_end_to_end(ray_session, tmp_path):
+    """All format parsers' frames flow through the standard compile job:
+    the synonyms side table contains normalized terms from every format."""
+    import pyarrow.parquet as pq
+
+    from kazu_ray.functions.normalize import normalize
+    from kazu_ray.ontology.compile import compile_dictionaries
+
+    parsers = [
+        MondoJsonParser(os.path.join(FIX, "mondo_sample.json"), "disease", "MONDO"),
+        OboFlatParser(
+            os.path.join(FIX, "cello_sample.obo"),
+            "cell_line",
+            "CELLOSAURUS",
+            strip_text_re=re.compile("cell line", re.IGNORECASE),
+        ),
+        RdfParser(
+            os.path.join(FIX, "disease_sample.ttl"),
+            "disease",
+            "MONDO_TTL",
+            uri_regex=r"^http://purl\.obolibrary\.org/obo/MONDO_[0-9]+$",
+        ),
+        TabularOntologyParser(
+            os.path.join(FIX, "tabular_sample.tsv"), "gene", "GENE_TSV", sep="\t"
+        ),
+    ]
+    frame = frames_from_parsers(parsers)
+    # metadata frame for these sources: idx -> default_label
+    out = compile_dictionaries(str(tmp_path / "dicts"), source_df=frame)
+    syn = pq.read_table(out.synonyms_path).to_pylist()
+    by_parser = {}
+    for row in syn:
+        by_parser.setdefault(row["parser_name"], set()).add(row["term_norm"])
+    assert normalize("bronchial asthma", "disease") in by_parser["MONDO"]
+    assert normalize("HeLa", "cell_line") in by_parser["CELLOSAURUS"]
+    assert normalize("renal disease", "disease") in by_parser["MONDO_TTL"]
+    assert normalize("ERBB1", "gene") in by_parser["GENE_TSV"]
+    # URL-shaped IRIs resolve their KB (find_kb IRI branch)
+    mondo_rows = [r for r in syn if r["parser_name"] == "MONDO"]
+    sources = {
+        ids["source"]
+        for r in mondo_rows
+        for id_set in r["assoc_sets"]
+        for ids in id_set
+    }
+    assert "MONDO" in sources or "HP" in sources
