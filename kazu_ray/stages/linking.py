@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..functions.similarity_scorers import DEFAULT_CLASS_SCORERS, apply_boolean_scorers
 from ..schemas import ENTITIES_COLUMN
 from ..state.embedder import HashedNgramEmbedder
 from ..state.side_tables import load_synonyms
@@ -31,10 +32,20 @@ EMBED_CONFIRM = 0.60  # SapBERT confirmation threshold, strategies.py:457-528
 
 
 class TfIdfLinker:
-    def __init__(self, synonyms_path: str, skip_ner_namespaces: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        synonyms_path: str,
+        skip_ner_namespaces: tuple[str, ...] = (),
+        class_scorers: dict | None = None,
+    ):
         self.synonyms = load_synonyms(synonyms_path)
         self.indices = build_indices(synonyms_path)
         self.embedder = HashedNgramEmbedder()
+        # per-class boolean gates on fuzzy hits (reference
+        # link_index.py:113-121 + conf/StringScorers/default.yaml)
+        self.class_scorers = (
+            DEFAULT_CLASS_SCORERS if class_scorers is None else class_scorers
+        )
         # parsers grouped by the entity class they link
         self.parsers_by_class: dict[str, list[str]] = {}
         for (parser, _tn), rec in self.synonyms.items():
@@ -45,6 +56,7 @@ class TfIdfLinker:
 
     def link_one(self, match: str, match_norm: str, entity_class: str) -> list[dict]:
         candidates: list[dict] = []
+        scorers = self.class_scorers.get(entity_class, ())
         for parser in self.parsers_by_class.get(entity_class, ()):
             index = self.indices.get(parser)
             if index is None:
@@ -53,6 +65,13 @@ class TfIdfLinker:
                 exact = term_norm == match_norm
                 if not exact:
                     if score < MIN_SCORE:
+                        continue
+                    # boolean precision gates (NumberMatch / subtype /
+                    # noun-modifier), applied to fuzzy hits only —
+                    # reference link_index.py:113-121
+                    if scorers and not apply_boolean_scorers(
+                        scorers, match_norm, term_norm
+                    ):
                         continue
                     # embedding confirmation for fuzzy hits
                     if self.embedder.similarity(match_norm, term_norm) < EMBED_CONFIRM:
