@@ -62,6 +62,7 @@ class CompiledDicts:
     metadata_path: str
     curations_path: str
     xrefs_path: str | None = None
+    contexts_path: str | None = None
 
 
 def score_and_group_ids(
@@ -208,7 +209,19 @@ def compile_dictionaries(
 
     os.makedirs(out_dir, exist_ok=True)
     syn_df = source_df if source_df is not None else synonym_frame()
-    meta_df = metadata_frame()
+    if source_df is not None:
+        # derive per-id metadata from the source frame itself (custom /
+        # real-format parser inputs carry their labels inline; the synth
+        # metadata table only covers the synthetic sources)
+        meta_df = (
+            syn_df[["parser_name", "idx", "default_label"]]
+            .drop_duplicates(subset=["parser_name", "idx"])
+            .reset_index(drop=True)
+        )
+        meta_df["annotation_score"] = 0
+        meta_df["data_origin"] = "source_df"
+    else:
+        meta_df = metadata_frame()
     if parser_actions:
         syn_df, meta_df = apply_parser_actions(syn_df, meta_df, parser_actions)
     if synonym_generators is not None:
@@ -255,4 +268,23 @@ def compile_dictionaries(
 
     xrefs_path = os.path.join(out_dir, "xrefs.parquet")
     pq.write_table(pa.Table.from_pandas(xref_frame(), preserve_index=False), xrefs_path)
-    return CompiledDicts(synonyms_path, metadata_path, curations_path, xrefs_path)
+
+    # Gilda-style per-ID disambiguation contexts (reference
+    # context_scoring.GildaTfIdfScorer contexts; strategies.py:272-358):
+    # the reference ships wikipedia-description contexts in the model
+    # pack; built from scratch, the id's own surface forms + default
+    # label are the context corpus.  Ontology-sized, so a driver groupby
+    # (same footing as labels_by_idx above).
+    ctx = (
+        syn_df.groupby(["parser_name", "idx"])["syn"]
+        .apply(lambda s: " ".join(sorted(set(map(str, s)))))
+        .reset_index(name="context")
+    )
+    ctx["context"] = ctx.apply(
+        lambda r: (labels_by_idx.get(r["idx"], "") + " " + r["context"]).strip(), axis=1
+    )
+    contexts_path = os.path.join(out_dir, "contexts.parquet")
+    pq.write_table(pa.Table.from_pandas(ctx, preserve_index=False), contexts_path)
+    return CompiledDicts(
+        synonyms_path, metadata_path, curations_path, xrefs_path, contexts_path
+    )

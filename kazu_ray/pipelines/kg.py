@@ -129,9 +129,17 @@ class AnnotateEmitTriples:
     The conceptual stages are the same classes used by ``annotate()``.
     """
 
-    def __init__(self, curations_path: str, synonyms_path: str, metadata_path: str):
+    def __init__(
+        self,
+        curations_path: str,
+        synonyms_path: str,
+        metadata_path: str,
+        contexts_path: str | None = None,
+    ):
         self.ner = DictionaryNer(curations_path, synonyms_path)
-        self.post = DocPostProcessor(synonyms_path, metadata_path)
+        self.post = DocPostProcessor(
+            synonyms_path, metadata_path, contexts_path=contexts_path
+        )
         self.failed_docs = 0  # per-actor failure counter (row isolation)
 
     def __call__(self, batch):

@@ -232,10 +232,78 @@ class _Resolution:
 class MappingCascade:
     """Per-document candidate -> Mapping resolution (SURVEY.md §2k)."""
 
-    def __init__(self, synonyms, metadata, embedder: HashedNgramEmbedder):
+    def __init__(
+        self,
+        synonyms,
+        metadata,
+        embedder: HashedNgramEmbedder,
+        id_contexts: dict | None = None,
+        use_nearest_embedding_fallback: bool = False,
+    ):
         self.synonyms = synonyms
         self.metadata = metadata
         self.embedder = embedder
+        # PreferNearestEmbeddingToDefaultLabel is opt-in, mirroring the
+        # reference where it is an available-but-not-default strategy
+        # (conf/DisambiguationStrategies/default.yaml has no entry for it)
+        self.use_nearest_embedding_fallback = use_nearest_embedding_fallback
+        # (parser, idx) -> context text, from compile's contexts.parquet
+        # (Gilda-style per-ID disambiguation, reference strategies.py:272-358)
+        self.id_contexts = id_contexts or {}
+        self._ctx_vec_cache: dict = {}
+
+    def _id_context_vec(self, key):
+        v = self._ctx_vec_cache.get(key)
+        if v is None:
+            text = self.id_contexts.get(key)
+            if text is None:
+                return None
+            v = self.embedder.encode(text)
+            self._ctx_vec_cache[key] = v
+        return v
+
+    # Gilda-style per-ID context disambiguation (reference
+    # GildaTfIdfDisambiguationStrategy, disambiguation/strategies.py:272-358):
+    # rank every candidate id by cosine(doc context, id context); accept the
+    # best id's set only if the first DIFFERENT set scores at least
+    # ``delta`` lower.  Ids without a context score 0.0 (reference caution
+    # note) — they sink to the bottom of the ranking.
+    def _gilda_disambiguate(self, parser, sets, ctx_vec, delta: float = 0.01):
+        idx_to_sets: dict[str, list[frozenset]] = {}
+        for s in sets:
+            for i, _src in s:
+                idx_to_sets.setdefault(i, []).append(s)
+        scored = []
+        for i in idx_to_sets:
+            v = self._id_context_vec((parser, i))
+            scored.append((float(ctx_vec @ v) if v is not None else 0.0, i))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        best_score, best_idx = scored[0]
+        best_sets = idx_to_sets[best_idx]
+        if len(best_sets) != 1:
+            return None
+        best_set = best_sets[0]
+        for score, i in scored[1:]:
+            if best_set in idx_to_sets[i] and len(idx_to_sets[i]) == 1:
+                continue  # lower-scoring id of the same set
+            return best_set if (best_score - score) >= delta else None
+        return None
+
+    # PreferNearestEmbeddingToDefaultLabel (reference strategies.py:449-507):
+    # score the entity match against each id's default label with the
+    # complex string scorer (the embedder, standing in for SapBERT) and
+    # return a NEW id set of the top-scoring ids (ties kept together).
+    def _prefer_nearest_embedding(self, parser, sets, ent_match: str):
+        scored: list[tuple[float, tuple[str, str]]] = []
+        for s in sets:
+            for item in s:
+                idx, _src = item
+                label = self.metadata.get((parser, idx), {}).get("default_label", "")
+                scored.append((self.embedder.similarity(ent_match, label), item))
+        if not scored:
+            return None
+        top = max(sc for sc, _ in scored)
+        return frozenset(item for sc, item in scored if sc == top)
 
     def _make_mappings(self, parser: str, res: _Resolution) -> list[dict]:
         out = []
@@ -341,6 +409,12 @@ class MappingCascade:
             scored.sort(key=lambda x: -x[0])
             if scored[0][0] >= CONTEXT_SIM_THRESHOLD:
                 return scored[0][1], "ContextSimilarity"
+        # 2b. Gilda per-ID context vectors (GildaTfIdfDisambiguationStrategy
+        #     :272-358; compile-time contexts from each id's surface forms)
+        if ctx_vec is not None and self.id_contexts:
+            chosen = self._gilda_disambiguate(parser, sets, ctx_vec)
+            if chosen is not None:
+                return chosen, "GildaTfIdfContext"
         # 3. annotation-score (AnnotationLevelDisambiguationStrategy :361-397)
         def set_score(s):
             return max(
@@ -361,6 +435,14 @@ class MappingCascade:
                     break
         if len(label_hits) == 1:
             return label_hits[0], "PreferDefaultLabelMatch"
+        # 5. (opt-in) nearest embedding to default label (:449-507) — only
+        #    when the match is meaningfully closer to one label (scorer
+        #    ties keep multiple ids together, mirroring the reference's
+        #    same-label case; a full tie across every id means no signal)
+        if self.use_nearest_embedding_fallback:
+            near = self._prefer_nearest_embedding(parser, sets, entity["match"])
+            if near is not None and len(near) < sum(len(s) for s in sets):
+                return near, "PreferNearestEmbeddingToDefaultLabel"
         return None, None
 
     def run(self, spans: list[dict], entities: list[dict]) -> None:
@@ -507,11 +589,27 @@ class DocPostProcessor:
     def __init__(self, synonyms_path: str, metadata_path: str,
                  xrefs_path: str | None = None,
                  class_rules: dict | None = None,
-                 mention_rules: dict | None = None):
+                 mention_rules: dict | None = None,
+                 contexts_path: str | None = None,
+                 use_nearest_embedding_fallback: bool = False):
         self.synonyms = load_synonyms(synonyms_path)
         self.metadata = load_metadata(metadata_path)
         self.embedder = HashedNgramEmbedder()
-        self.cascade = MappingCascade(self.synonyms, self.metadata, self.embedder)
+        id_contexts = None
+        if contexts_path:
+            import pyarrow.parquet as _pq
+
+            id_contexts = {
+                (r["parser_name"], r["idx"]): r["context"]
+                for r in _pq.read_table(contexts_path).to_pylist()
+            }
+        self.cascade = MappingCascade(
+            self.synonyms,
+            self.metadata,
+            self.embedder,
+            id_contexts=id_contexts,
+            use_nearest_embedding_fallback=use_nearest_embedding_fallback,
+        )
         # rules-based entity-class disambiguation filter (runs before the
         # cascade, mirroring the reference default step order); no-op
         # unless rules are configured
