@@ -17,10 +17,13 @@ cluster, implement ``Tagger.logits`` with the HF checkpoint loaded in
 ``__init__`` (once per actor) and nothing else changes — windowing,
 merge, decode and splitting are model-agnostic and fully tested.
 
-Deviation, documented: the reference's conjunction splitter
-(SplitOnConjunctionPattern) requires a scispacy dependency parse; it is
-out of scope here (no model), and non-contiguous split entities are
-represented by their covering contiguous span.
+Conjunction splitting ("skin, lung and breast cancer" -> skin cancer /
+lung cancer / breast cancer) follows SplitOnConjunctionPattern
+(entity_post_processing.py:29-93) with a rule-based anchor-head-noun
+fallback instead of the scispacy dependency parse: the last
+conjunct phrase is the anchor, its final token the shared head noun.
+Covers the "X, Y and Z HEAD" shapes the reference tests pin; true
+dep-parse chunking remains a model-pack upgrade.
 """
 
 from __future__ import annotations
@@ -177,6 +180,114 @@ def split_numerical_list(match: str) -> list[str]:
     return [f"{prefix}{n}" for n in nums]
 
 
+_CONJ_WORDS = ("and", "or", "nor")
+_CONJ_SPLIT = re.compile(r"\s*,\s*|\s+(?:and|or|nor)\s+")
+
+
+def split_conjunction(match: str) -> list[str]:
+    """Rule-based conjunction split (reference SplitOnConjunctionPattern,
+    entity_post_processing.py:29-93 — spacy noun-chunk version): the
+    last conjunct phrase anchors the shared head noun, e.g.
+    "skin, lung and breast cancer" -> ["breast cancer", "skin cancer",
+    "lung cancer"].  Returns [] when no conjunction or no multiword
+    anchor to borrow a head noun from."""
+    if not any(f" {w} " in match for w in _CONJ_WORDS):
+        return []
+    items = [x for x in _CONJ_SPLIT.split(match) if x]
+    if len(items) < 2:
+        return []
+    anchor = items[-1]
+    anchor_words = anchor.split()
+    if len(anchor_words) < 2:
+        # "lung and liver": no head noun to distribute
+        return []
+    head = anchor_words[-1]
+    out = [anchor]
+    for item in items[:-1]:
+        out.append(f"{item} {head}")
+    return out
+
+
+# span-breaking chars for the smart finder include whitespace: every word
+# boundary is a potential span start (reference SmartSpanFinder:247)
+_SMART_BREAKERS = {"(", ")", ";", " "}
+
+
+def _labels_above(probs_row: np.ndarray, threshold: float) -> set[tuple[str, str | None]]:
+    out: set[tuple[str, str | None]] = set()
+    for li in np.argwhere(probs_row > threshold).ravel():
+        label = LABELS[int(li)]
+        if label == "O":
+            out.add(("O", None))
+        else:
+            bio, cls = label.split("-", 1)
+            out.add((bio, cls))
+    return out
+
+
+def decode_spans_smart(
+    tokens: list[Token], probs: np.ndarray, text: str, threshold: float = 0.15
+) -> list[tuple[int, int, str]]:
+    """Soft-label nested/overlapping span decode (reference
+    SmartSpanFinder, tokenized_word_processor.py:236-321): every label
+    above ``threshold`` is live, so one token sequence can yield
+    overlapping spans of different classes and nested same-class spans
+    (a B label inside an open span snapshots it).
+
+    ``probs`` is (n_tokens, n_labels) softmax output.
+    """
+    active: list[dict] = []  # {"clazz": str, "toks": [Token]}
+    closed: list[dict] = []
+
+    def start_spans(labels, word):
+        for bio, cls in labels:
+            if bio == "B" and cls is not None:
+                active.append({"clazz": cls, "toks": [word]})
+
+    def update_active(labels, word):
+        for span in active:
+            for bio, cls in labels:
+                if bio == "B" and cls == span["clazz"]:
+                    closed.append({"clazz": span["clazz"], "toks": list(span["toks"])})
+                if cls == span["clazz"]:
+                    span["toks"].append(word)
+
+    def close_all():
+        nonlocal active
+        closed.extend(s for s in active if s["toks"])
+        active = []
+
+    for wi, (tok, row) in enumerate(zip(tokens, probs)):
+        labels = _labels_above(row, threshold)
+        classes = {c for _b, c in labels if c is not None}
+        if wi == 0 or not active:
+            start_spans(labels, tok)
+        else:
+            prev_char = text[tok.start - 1] if tok.start > 0 else " "
+            if prev_char not in _SMART_BREAKERS or classes:
+                update_active(labels, tok)
+                start_spans(labels, tok)  # subspans for every soft B
+            else:
+                close_all()
+                start_spans(labels, tok)
+    close_all()
+
+    seen = set()
+    out = []
+    for s in closed:
+        key = (s["toks"][0].start, s["toks"][-1].end, s["clazz"])
+        if key not in seen:
+            seen.add(key)
+            out.append(key)
+    return out
+
+
+def softmax(logits: np.ndarray) -> np.ndarray:
+    z = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 class TransformerNer:
     """Actor-pool UDF: extends the ``entities`` column with model spans.
 
@@ -184,20 +295,48 @@ class TransformerNer:
     ``map_batches(TransformerNer, concurrency=k, num_gpus=1, ...)`` with
     the checkpoint loaded once per actor."""
 
-    def __init__(self, tagger: str = "mock"):
+    def __init__(
+        self,
+        tagger: str = "mock",
+        span_finder: str = "simple",
+        smart_threshold: float = 0.15,
+    ):
         self.tagger = MockBioTagger() if tagger == "mock" else _load_real_tagger(tagger)
+        if span_finder not in ("simple", "smart"):
+            raise ValueError(f"unknown span_finder {span_finder!r}")
+        self.span_finder = span_finder
+        self.smart_threshold = smart_threshold
+
+    def _pieces(self, stripped: str, cls: str) -> list[str]:
+        """NonContiguousEntitySplitter (entity_post_processing.py:169-193):
+        numerical-list rule for every class (mirrors round-1 behavior);
+        conjunction rule for disease/anatomy phrases."""
+        pieces = split_numerical_list(stripped)
+        if cls in ("disease", "anatomy"):
+            conj = split_conjunction(stripped)
+            if conj:
+                # parent match kept too, as the reference keeps the
+                # original entity alongside its splits
+                pieces = pieces + conj
+        return pieces
 
     def tag_span_text(self, text: str, span_idx: int) -> list[dict]:
         toks = tokenize(text)
         if not toks:
             return []
         logits = window_logits(self.tagger, [t.text for t in toks])
+        if self.span_finder == "smart":
+            spans = decode_spans_smart(
+                toks, softmax(logits), text, self.smart_threshold
+            )
+        else:
+            spans = decode_spans(toks, logits, text)
         out = []
-        for start, end, cls in decode_spans(toks, logits, text):
+        for start, end, cls in spans:
             raw = text[start:end]
             stripped = strip_suffix(raw, cls)
             end = start + len(stripped)
-            for piece in split_numerical_list(stripped):
+            for piece in self._pieces(stripped, cls):
                 out.append(
                     {
                         "span_idx": span_idx,

@@ -113,3 +113,87 @@ def test_full_path_with_transformer(ray_session, compiled_dicts):
     tp = len(got & exp)
     assert tp / max(1, len(got)) >= 0.95
     assert tp / max(1, len(exp)) >= 0.95
+
+
+# --- SmartSpanFinder + conjunction splitting (VERDICT r1 item 7) -----------
+
+
+def _probs_for(labels_per_token, boosts=()):
+    """one-hot-ish probability rows; boosts = [(tok_idx, label, prob)]"""
+    import numpy as np
+
+    from kazu_ray.stages.transformer_ner import LABEL_IDX, LABELS
+
+    n = len(labels_per_token)
+    probs = np.zeros((n, len(LABELS)))
+    for i, lab in enumerate(labels_per_token):
+        probs[i, LABEL_IDX[lab]] = 0.8
+    for i, lab, p in boosts:
+        probs[i, LABEL_IDX[lab]] = p
+    return probs
+
+
+def test_smart_finder_overlapping_classes():
+    from kazu_ray.functions.tokens import tokenize
+    from kazu_ray.stages.transformer_ner import decode_spans_smart
+
+    text = "breast cancer diagnosed"
+    toks = tokenize(text)
+    probs = _probs_for(
+        ["B-disease", "I-disease", "O"],
+        boosts=[(0, "B-anatomy", 0.3)],  # 'breast' soft-labeled anatomy too
+    )
+    spans = decode_spans_smart(toks, probs, text, threshold=0.15)
+    got = {(text[s:e], c) for s, e, c in spans}
+    assert ("breast cancer", "disease") in got
+    assert ("breast", "anatomy") in got
+
+
+def test_smart_finder_nested_same_class_on_inner_B():
+    from kazu_ray.functions.tokens import tokenize
+    from kazu_ray.stages.transformer_ner import decode_spans_smart
+
+    text = "EGFR KRAS pathway"
+    toks = tokenize(text)
+    probs = _probs_for(["B-gene", "B-gene", "O"])
+    spans = decode_spans_smart(toks, probs, text, threshold=0.15)
+    got = {(text[s:e], c) for s, e, c in spans}
+    # inner B snapshots the open span AND starts a fresh one
+    assert ("EGFR", "gene") in got
+    assert ("KRAS", "gene") in got
+
+
+def test_smart_finder_matches_simple_on_unambiguous():
+    """With one-hot labels above threshold only at the argmax, smart and
+    simple decode agree on entity matches."""
+    from kazu_ray.stages.transformer_ner import TransformerNer
+
+    smart = TransformerNer(span_finder="smart")
+    simple = TransformerNer()
+    text = "EGFR mutations drive lung cancer; aspirin helps."
+    simple_ents = {(e["match"], e["entity_class"]) for e in simple.tag_span_text(text, 0)}
+    smart_ents = {(e["match"], e["entity_class"]) for e in smart.tag_span_text(text, 0)}
+    assert simple_ents <= smart_ents
+
+
+def test_split_conjunction_reference_cases():
+    from kazu_ray.stages.transformer_ner import split_conjunction
+
+    assert set(split_conjunction("skin, lung and breast cancer")) == {
+        "breast cancer", "skin cancer", "lung cancer",
+    }
+    assert set(split_conjunction("skin, lung and triple negative breast cancer")) == {
+        "triple negative breast cancer", "skin cancer", "lung cancer",
+    }
+    assert split_conjunction("breast cancer") == []
+    assert split_conjunction("lung and liver") == []  # no head noun signal
+
+
+def test_conjunction_entities_emitted():
+    from kazu_ray.stages.transformer_ner import TransformerNer
+
+    ner = TransformerNer()
+    # gazetteer tags 'breast cancer' as disease within the conjunction;
+    # drive _pieces directly for the full phrase shape
+    pieces = ner._pieces("skin, lung and breast cancer", "disease")
+    assert "skin cancer" in pieces and "lung cancer" in pieces
