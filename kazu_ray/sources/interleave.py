@@ -273,8 +273,25 @@ def golden_annotations(sf_dir: str):
 
 
 def golden_triples_table(sf_dir: str) -> pa.Table:
-    """Expected deduplicated (subj, pred, obj) triples, computed driver-side
-    from the golden annotations (small at test scale)."""
+    """Expected deduplicated (subj, pred, obj) triples.
+
+    For the known test scale factors this reads a FROZEN fixture
+    (kazu_ray/sources/_golden/sf*.csv, generated once and checked in) so
+    the oracle cannot co-vary with pipeline code — in round 1 the
+    ``MENTION:`` subjects were built by calling the engine's own
+    ``normalize()``, which let a normalizer bug cancel out of the
+    maps-to comparison (VERDICT r1 item 8).  Unknown sf dirs fall back
+    to the computed oracle."""
+    import os
+
+    import pyarrow.csv as pcsv
+
+    frozen = os.path.join(
+        os.path.dirname(__file__), "_golden", os.path.basename(os.path.normpath(sf_dir)) + ".csv"
+    )
+    if os.path.isfile(frozen):
+        return pcsv.read_csv(frozen)
+
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
