@@ -221,6 +221,8 @@ def q_minhash_candidates(sf_dir: str):
 
 
 def simhash64(text: str) -> int:
+    """Single-doc reference implementation (the batch kernel below is the
+    hot path; this stays as the semantic spec + test oracle)."""
     acc = np.zeros(64, dtype=np.int64)
     for w in _WORD.findall(text.lower()):
         h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
@@ -233,6 +235,38 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized batch SimHash, bit-identical to :func:`simhash64`.
+
+    Word hashing (the round-1 per-word python bottleneck) is amortized
+    over the batch vocabulary — each unique word is blake2b'd once; the
+    per-doc accumulate is a numpy row-sum over a precomputed ±1 bit
+    matrix."""
+    vocab: dict[str, int] = {}
+    idx_lists = []
+    for t in texts:
+        toks = _WORD.findall(t.lower())
+        idx_lists.append(
+            np.fromiter((vocab.setdefault(w, len(vocab)) for w in toks), dtype=np.int64, count=len(toks))
+        )
+    if vocab:
+        hashes = np.empty(len(vocab), dtype=">u8")
+        for w, i in vocab.items():
+            hashes[i] = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bit_matrix = (
+            np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int64) * 2 - 1
+        )  # (V, 64), MSB first
+    else:
+        bit_matrix = np.zeros((0, 64), dtype=np.int64)
+    out = np.empty(len(texts), dtype=np.uint64)
+    zero = np.zeros(64, dtype=np.int64)
+    for i, idxs in enumerate(idx_lists):
+        acc = bit_matrix[idxs].sum(axis=0) if len(idxs) else zero
+        packed = np.packbits((acc > 0).astype(np.uint8))  # 8 bytes, MSB first
+        out[i] = packed.view(">u8")[0]
+    return out
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (hamming-banded near-dup key)."""
     import ray.data as rd
@@ -240,11 +274,14 @@ def q_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sh(t: pa.Table) -> pa.Table:
-        vals = [simhash64(x) for x in t.column("text").to_pylist()]
+        vals = simhash64_batch(t.column("text").to_pylist())
         return pa.Table.from_pydict(
             {
                 "doc_id": t.column("doc_id"),
-                "simhash": pa.array([v - (1 << 63) for v in vals], type=pa.int64()),
+                # shift into signed int64 for parquet/oracle friendliness
+                "simhash": pa.array(
+                    (vals - np.uint64(1 << 63)).view(np.int64), type=pa.int64()
+                ),
             }
         )
 

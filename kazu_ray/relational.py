@@ -164,16 +164,18 @@ def q_region_customer_counts(sf_dir: str):
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
     region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
     rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    nation_to_region = {
-        nk: rmap[rk]
-        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
+    # aligned arrays for the vectorized dictionary join (pc.index_in/take
+    # replaces the round-1 per-row python dict lookup)
+    nation_keys = nation["n_nationkey"].combine_chunks()
+    nation_region_names = pa.array(
+        [rmap[rk] for rk in nation["n_regionkey"].to_pylist()], type=pa.string()
+    )
 
     ds = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = pa.array([nation_to_region.get(int(k)) for k in keys], type=pa.string())
+        idx = pc.index_in(t["c_nationkey"], value_set=nation_keys)
+        names = pc.take(nation_region_names, idx)
         return pa.Table.from_arrays([names], names=["region_name"])
 
     return (
@@ -228,15 +230,15 @@ def q_part_semi_join(sf_dir: str):
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_brand"])
     mask = pc.match_substring(part["p_type"], "PROMO")
     keep = part.filter(mask)
-    keys = dict(zip(keep["p_partkey"].to_pylist(), keep["p_brand"].to_pylist()))
+    part_keys = keep["p_partkey"].combine_chunks()
+    part_brands = keep["p_brand"].combine_chunks()
 
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        pk = t["l_partkey"].to_pylist()
-        brands = [keys.get(k) for k in pk]
-        arr = pa.array(brands, type=pa.string())
-        tbl = pa.Table.from_arrays([arr], names=["p_brand"])
+        idx = pc.index_in(t["l_partkey"], value_set=part_keys)
+        brands = pc.take(part_brands, idx)  # null where no match (anti rows)
+        tbl = pa.Table.from_arrays([brands], names=["p_brand"])
         return tbl.filter(pc.is_valid(tbl["p_brand"]))
 
     return (

@@ -96,3 +96,15 @@ def test_neardup_components_frozen_golden_sf001(ray_session):
 
     got = {r["doc_id"]: r["component"] for r in q_neardup_components(sf).take_all()}
     assert got == expected
+
+
+def test_simhash_batch_matches_reference_kernel():
+    from kazu_ray.extras.dedup import simhash64, simhash64_batch
+
+    texts = [
+        "the quick brown fox", "", "one", "repeated repeated repeated words",
+        "Mixed CASE and punctuation!!! 123 456",
+    ]
+    batch = simhash64_batch(texts)
+    for t, got in zip(texts, batch):
+        assert int(got) == simhash64(t)
