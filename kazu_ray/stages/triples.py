@@ -150,34 +150,50 @@ def nodes_from_edges(edges_ds, metadata_path: str):
     """Canonical node table derived from the (small) canonical edges plus
     the broadcast metadata side table — avoids a second pass over the
     full document corpus (every grounded CURIE appears in some edge)."""
-    import ray.data as rd
+    import ray
 
     from ..state.side_tables import load_metadata
 
     meta = load_metadata(metadata_path)
-    by_idx = {idx: m for (_parser, idx), m in meta.items()}
+    by_idx = {idx: m.get("default_label", "") for (_parser, idx), m in meta.items()}
+    meta_ref = ray.put(by_idx)
 
     import pyarrow.compute as pc
 
-    curies: set[str] = set()
-    for batch in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        curies.update(pc.unique(batch.column("obj")).to_pylist())
-        co = batch.filter(pc.equal(batch.column("pred"), PRED_CO_OCCURS))
-        curies.update(pc.unique(co.column("subj")).to_pylist())
-    curies = {c for c in curies if not c.startswith("MENTION:")}
-    rows = sorted(curies)
+    def curie_batch(t: pa.Table) -> pa.Table:
+        co = t.filter(pc.equal(t.column("pred"), PRED_CO_OCCURS))
+        curies = pa.concat_arrays(
+            [pc.unique(t.column("obj")), pc.unique(co.column("subj"))]
+        )
+        mask = pc.invert(pc.starts_with(curies, "MENTION:"))
+        return pa.table({"curie": pc.unique(curies.filter(mask))})
 
-    def source_of(c: str) -> str:
+    def enrich(t: pa.Table) -> pa.Table:
         from ..ontology.synth import find_kb
 
-        return find_kb(c)
-
-    return rd.from_arrow(
-        pa.Table.from_pydict(
+        labels = ray.get(meta_ref)
+        cs = t.column("curie").to_pylist()
+        return pa.Table.from_pydict(
             {
-                "curie": rows,
-                "source": [source_of(c) for c in rows],
-                "default_label": [by_idx.get(c, {}).get("default_label", "") for c in rows],
+                "curie": t.column("curie"),
+                "source": pa.array([find_kb(c) for c in cs], type=pa.string()),
+                "default_label": pa.array(
+                    [labels.get(c, "") for c in cs], type=pa.string()
+                ),
             }
         )
+
+    # distributed: per-batch unique -> groupby dedup across blocks ->
+    # enrich with the broadcast metadata table (round 1 collected every
+    # CURIE onto the driver and looped in python)
+    from ray.data.aggregate import Count
+
+    return (
+        edges_ds.map_batches(curie_batch, batch_format="pyarrow")
+        .groupby("curie")
+        .aggregate(Count(alias_name="_n"))  # vectorized distributed dedup
+        .map_batches(
+            lambda t: enrich(t.drop_columns(["_n"])), batch_format="pyarrow"
+        )
+        .sort("curie")
     )
