@@ -108,7 +108,8 @@ def run_bench() -> dict:
     q = entrymod.queries()
     for name in ("lineitem_agg", "customer_order_join", "orders_topk",
                  "token_topk", "exact_dedup", "minhash_candidates",
-                 "ann_topk", "embedding_neardup", "doc_token_stats",
+                 "simhash", "neardup_components", "ann_topk", "ivf_topk",
+                 "embedding_neardup", "doc_token_stats",
                  "events_sessions", "asof_join"):
         try:
             queries[name] = _timed(lambda n=name: q[n](SF_DIR).count())

@@ -81,19 +81,25 @@ def score_and_group_ids(
         return [sorted(ids_and_source)], AGG_UNAMBIGUOUS
     if not is_symbolic:
         return [sorted(ids_and_source)], AGG_MERGED_NON_SYMBOLIC
-    clusters: list[tuple[set[tuple[str, str]], set[str]]] = []
-    for pair in sorted(ids_and_source):
-        label = labels_by_idx.get(pair[0], pair[0])
+    pairs = sorted(ids_and_source)
+    labels = [labels_by_idx.get(p[0], p[0]) for p in pairs]
+    # encode each distinct label once; cluster comparisons are dot
+    # products on the cached vectors (similarity() would re-encode both
+    # sides every call — quadratic re-encoding on big groups)
+    vec_of = {lbl: scorer.encode(lbl) for lbl in set(labels)}
+    clusters: list[tuple[set[tuple[str, str]], list[np.ndarray]]] = []
+    for pair, label in zip(pairs, labels):
+        v = vec_of[label]
         best, best_score = None, 0.0
         for cluster in clusters:
-            sim = max(scorer.similarity(label, other) for other in cluster[1])
+            sim = max(float(v @ cv) for cv in cluster[1])
             if sim > SYNONYM_MERGE_THRESHOLD and sim > best_score:
                 best, best_score = cluster, sim
         if best is None:
-            clusters.append(({pair}, {label}))
+            clusters.append(({pair}, [v]))
         else:
             best[0].add(pair)
-            best[1].add(label)
+            best[1].append(v)
     return [sorted(c[0]) for c in clusters], AGG_RESOLVED_BY_SIMILARITY
 
 
@@ -247,15 +253,20 @@ def compile_dictionaries(
     ds = rd.from_pandas(syn_df)
     if len(syn_df) > 10_000:
         ds = ds.repartition(32)
+    # broadcast the label map once; each resolve task reads it from the
+    # object store instead of paying actor-pool spawn latency (the
+    # resolve state is just this dict + a cheap embedder)
+    import ray as _ray
+
+    labels_ref = _ray.put(labels_by_idx)
+
+    def _resolve_part(part: pd.DataFrame) -> pa.Table:
+        return _ResolveGroups(_ray.get(labels_ref))(part)
+
     compiled = (
         ds.map_batches(_add_norm_columns, batch_format="pandas")
         .groupby("group_part")
-        .map_groups(
-            _ResolveGroups,
-            fn_constructor_args=(labels_by_idx,),
-            batch_format="pandas",
-            concurrency=(1, 8),
-        )
+        .map_groups(_resolve_part, batch_format="pandas")
     )
     batches = [
         b.cast(SYNONYMS_SCHEMA)
@@ -275,13 +286,15 @@ def compile_dictionaries(
     # pack; built from scratch, the id's own surface forms + default
     # label are the context corpus.  Ontology-sized, so a driver groupby
     # (same footing as labels_by_idx above).
+    dedup = syn_df[["parser_name", "idx", "syn"]].drop_duplicates()
+    dedup = dedup.sort_values(["parser_name", "idx", "syn"])
     ctx = (
-        syn_df.groupby(["parser_name", "idx"])["syn"]
-        .apply(lambda s: " ".join(sorted(set(map(str, s)))))
+        dedup.groupby(["parser_name", "idx"], sort=False)["syn"]
+        .agg(" ".join)
         .reset_index(name="context")
     )
-    ctx["context"] = ctx.apply(
-        lambda r: (labels_by_idx.get(r["idx"], "") + " " + r["context"]).strip(), axis=1
+    ctx["context"] = (
+        (ctx["idx"].map(labels_by_idx).fillna("") + " " + ctx["context"]).str.strip()
     )
     contexts_path = os.path.join(out_dir, "contexts.parquet")
     pq.write_table(pa.Table.from_pandas(ctx, preserve_index=False), contexts_path)

@@ -190,7 +190,9 @@ def nodes_from_edges(edges_ds, metadata_path: str):
 
     return (
         edges_ds.map_batches(curie_batch, batch_format="pyarrow")
-        .groupby("curie")
+        # node-id space is ontology-sized; a small partition count keeps
+        # the dedup shuffle's task overhead proportionate
+        .groupby("curie", num_partitions=8)
         .aggregate(Count(alias_name="_n"))  # vectorized distributed dedup
         .map_batches(
             lambda t: enrich(t.drop_columns(["_n"])), batch_format="pyarrow"

@@ -28,11 +28,16 @@ DIM = 64
 class HashedNgramEmbedder:
     """Stateful encoder; build once per actor, call per batch."""
 
+    # cap on the whole-string vector memo (labels/terms repeat heavily in
+    # compile + linking loops; bounded so long-running actors don't grow)
+    _VEC_CACHE_MAX = 200_000
+
     def __init__(self, dim: int = DIM, n: int = 3, seed: int = 1234):
         self.dim = dim
         self.n = n
         self.seed = seed
         self._gram_cache: dict[str, np.ndarray] = {}
+        self._vec_cache: dict[str, np.ndarray] = {}
 
     def _gram_vec(self, gram: str) -> np.ndarray:
         v = self._gram_cache.get(gram)
@@ -44,13 +49,20 @@ class HashedNgramEmbedder:
         return v
 
     def encode(self, s: str) -> np.ndarray:
+        cached = self._vec_cache.get(s)
+        if cached is not None:
+            return cached
+        key = s
         s = f"^{s.lower().strip()}$"
         grams = [s[i : i + self.n] for i in range(max(1, len(s) - self.n + 1))]
         vec = np.zeros(self.dim, dtype=np.float32)
         for g in grams:
             vec += self._gram_vec(g)
         norm = float(np.linalg.norm(vec))
-        return vec / norm if norm > 0 else vec
+        out = vec / norm if norm > 0 else vec
+        if len(self._vec_cache) < self._VEC_CACHE_MAX:
+            self._vec_cache[key] = out
+        return out
 
     def encode_batch(self, strings: list[str]) -> np.ndarray:
         if not strings:
