@@ -370,7 +370,20 @@ class TransformerNer:
 
 
 def _load_real_tagger(spec: str):
+    """Load a real BERT checkpoint directory as the tagger.
+
+    Uses the pure-numpy forward (state/numpy_bert.py) so a HF-format
+    checkpoint (config.json + pytorch_model.bin + vocab.txt) runs even
+    without torch; on a GPU cluster, replace with HF
+    AutoModelForTokenClassification — the Tagger contract is the same.
+    """
+    import os
+
+    if os.path.isdir(spec) and os.path.isfile(os.path.join(spec, "pytorch_model.bin")):
+        from ..state.numpy_bert import NumpyBertTagger
+
+        return NumpyBertTagger(spec, n_labels=len(LABELS))
     raise NotImplementedError(
-        "torch/transformers are not available in this environment; "
-        "plug a HF AutoModelForTokenClassification here on a GPU cluster"
+        f"tagger spec {spec!r} is not a checkpoint directory; torch/transformers "
+        "are not available in this environment for hub names"
     )
