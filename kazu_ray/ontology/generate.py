@@ -106,6 +106,54 @@ def ngram_hyphenation(syn: str) -> set[str]:
     return out
 
 
+def make_verb_phrase_variants(
+    tense_templates: list[str],
+    lemmas_to_consider: dict[str, list[str]],
+) -> Generator:
+    """Verb-phrase tense variants (reference VerbPhraseVariantGenerator,
+    synonym_generation.py:392-467).  The reference lemmatizes with
+    spaCy; spaCy is absent here, so lemma matching is rule-based over
+    the configured lemma dictionary itself — a token matches lemma L
+    when it equals L, is one of L's configured surface forms, or is a
+    regular English inflection of L (s/ed/ing/d).  That covers the
+    configured-lemma use case exactly (the generator only ever fires on
+    lemmas_to_consider keys by construction).
+
+    Templates use the reference's placeholders: ``{NOUN}``, ``{TARGET}``:
+
+        make_verb_phrase_variants(["{NOUN} {TARGET}", "{TARGET} in {NOUN}"],
+                                  {"increase": ["increasing", "increased"]})
+    """
+    # lemma lookup: surface form -> lemma
+    form_to_lemma: dict[str, str] = {}
+    for lemma, forms in lemmas_to_consider.items():
+        form_to_lemma[lemma] = lemma
+        for f in forms:
+            form_to_lemma[f.lower()] = lemma
+        for suffix in ("s", "d", "ed", "ing"):
+            form_to_lemma.setdefault(lemma + suffix, lemma)
+        if lemma.endswith("e"):
+            form_to_lemma.setdefault(lemma[:-1] + "ing", lemma)
+
+    def gen(syn: str) -> set[str]:
+        toks = syn.split()
+        out: set[str] = set()
+        for i, tok in enumerate(toks):
+            lemma = form_to_lemma.get(tok.lower())
+            if lemma is None:
+                continue
+            noun = " ".join(toks[:i] + toks[i + 1 :])
+            if not noun:
+                continue
+            for template in tense_templates:
+                for form in [lemma] + list(lemmas_to_consider[lemma]):
+                    out.add(template.format(NOUN=noun, TARGET=form))
+        out.discard(syn)
+        return out
+
+    return gen
+
+
 class CombinatorialSynonymGenerator:
     """Apply each generator to the originals and (one round of) their
     outputs, union everything (reference synonym_generation.py:380-467)."""

@@ -17,6 +17,8 @@ STEP_GROUPS: dict[str, tuple[str, ...]] = {
     "full": ("prefilter", "dict_ner", "transformer_ner", "linking", "doc_post"),
     "ner_only": ("prefilter", "dict_ner", "transformer_ner"),
     "linking_only": ("linking", "doc_post"),
+    # token-level phrase matching variant (Explosion-analogue NER)
+    "token_match": ("prefilter", "token_ner", "doc_post"),
 }
 
 
@@ -56,6 +58,14 @@ def build(docs_ds, dicts, config: PipelineConfig):
         elif step == "dict_ner":
             ds = ds.map_batches(
                 DictionaryNer,
+                fn_constructor_args=(dicts.curations_path, dicts.synonyms_path),
+                **common,
+            )
+        elif step == "token_ner":
+            from ..stages.token_ner import TokenPhraseNer
+
+            ds = ds.map_batches(
+                TokenPhraseNer,
                 fn_constructor_args=(dicts.curations_path, dicts.synonyms_path),
                 **common,
             )

@@ -133,3 +133,36 @@ def test_generators_through_compile(ray_session, tmp_path_factory):
         for (p, tn) in syns
         if p == "MONDO"
     )
+
+
+def test_verb_phrase_variants():
+    """Reference VerbPhraseVariantGenerator semantics
+    (synonym_generation.py:392-467) without the spaCy lemmatizer."""
+    from kazu_ray.ontology.generate import make_verb_phrase_variants
+
+    gen = make_verb_phrase_variants(
+        ["{NOUN} {TARGET}", "{TARGET} in {NOUN}"],
+        {"increase": ["increasing", "increased"]},
+    )
+    out = gen("blood pressure increased")
+    assert "blood pressure increase" in out
+    assert "blood pressure increasing" in out
+    assert "increased in blood pressure" in out
+    assert "increase in blood pressure" in out
+    # no lemma match -> nothing generated
+    assert gen("blood pressure high") == set()
+    # bare lemma with no noun -> nothing
+    assert gen("increase") == set()
+
+
+def test_verb_phrase_in_combinatorial():
+    from kazu_ray.ontology.generate import (
+        CombinatorialSynonymGenerator,
+        make_verb_phrase_variants,
+    )
+
+    gen = CombinatorialSynonymGenerator(
+        [make_verb_phrase_variants(["{TARGET} of {NOUN}"], {"decrease": ["decreased"]})]
+    )
+    out = gen("appetite decreased")
+    assert "decrease of appetite" in out
