@@ -74,10 +74,16 @@ def build(docs_ds, dicts, config: PipelineConfig):
 
             ds = ds.map_batches(TransformerNer, **common)
         elif step == "linking":
+            from ..constants import NS_DICT_NER
             from ..stages.linking import TfIdfLinker
 
+            # dict-matcher entities are already linked — reference
+            # conf/DictionaryEntityLinkingStep/default.yaml skips the
+            # string-matching namespaces
             ds = ds.map_batches(
-                TfIdfLinker, fn_constructor_args=(dicts.synonyms_path,), **common
+                TfIdfLinker,
+                fn_constructor_args=(dicts.synonyms_path, (NS_DICT_NER,)),
+                **common,
             )
         elif step == "doc_post":
             args = [dicts.synonyms_path, dicts.metadata_path]

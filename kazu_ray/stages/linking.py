@@ -93,12 +93,37 @@ class TfIdfLinker:
         for ents in ents_col:
             new_ents = []
             for e in ents:
-                if not e["candidates"] and e["namespace"] not in self.skip_ner_namespaces:
+                if e["namespace"] not in self.skip_ner_namespaces:
                     key = (e["match_norm"], e["entity_class"])
                     if key not in cache:
                         cache[key] = self.link_one(e["match"], *key)
-                    e = {**e, "candidates": cache[key]}
+                    if cache[key]:
+                        merged = (
+                            merge_candidates(e["candidates"], cache[key])
+                            if e["candidates"]
+                            else cache[key]
+                        )
+                        e = {**e, "candidates": merged}
                 new_ents.append(e)
             new_col.append(new_ents)
         batch = batch.drop_columns(["entities"])
         return batch.append_column("entities", pa.array(new_col, type=ENTITIES_COLUMN))
+
+
+def merge_candidates(existing: list[dict], new: list[dict]) -> list[dict]:
+    """Per-term metric merge (reference Entity.update_terms,
+    data/data.py:340-349 + SynonymTermWithMetrics.merge_metrics): the
+    same (parser, term_norm) candidate attached twice keeps the best of
+    each metric instead of duplicating or overwriting."""
+    by_key: dict[tuple[str, str], dict] = {
+        (c["parser_name"], c["term_norm"]): dict(c) for c in existing
+    }
+    for c in new:
+        k = (c["parser_name"], c["term_norm"])
+        m = by_key.get(k)
+        if m is None:
+            by_key[k] = dict(c)
+        else:
+            m["search_score"] = max(m["search_score"], c["search_score"])
+            m["exact_match"] = bool(m["exact_match"] or c["exact_match"])
+    return list(by_key.values())

@@ -118,3 +118,20 @@ def test_linker_boolean_gate_filters_number_mismatch(ray_session, tmp_path):
     }
     assert wrong in ungated
     assert DEFAULT_CLASS_SCORERS["gene"] and DEFAULT_CLASS_SCORERS["disease"]
+
+
+def test_merge_candidates_metric_merge():
+    """Entity.update_terms parity (reference data.py:340-349): same term
+    twice keeps best-of-each-metric, distinct terms accumulate."""
+    from kazu_ray.stages.linking import merge_candidates
+
+    existing = [{"parser_name": "P", "term_norm": "T", "search_score": 80.0, "exact_match": False}]
+    new = [
+        {"parser_name": "P", "term_norm": "T", "search_score": 100.0, "exact_match": True},
+        {"parser_name": "P", "term_norm": "U", "search_score": 77.0, "exact_match": False},
+    ]
+    out = {(c["parser_name"], c["term_norm"]): c for c in merge_candidates(existing, new)}
+    assert len(out) == 2
+    assert out[("P", "T")]["search_score"] == 100.0
+    assert out[("P", "T")]["exact_match"] is True
+    assert out[("P", "U")]["search_score"] == 77.0
