@@ -48,24 +48,67 @@ def _symmetrize(t: pa.Table) -> pa.Table:
     return pa.concat_tables([fwd, rev]).combine_chunks()
 
 
-def connected_components(pairs_ds, max_rounds: int = 12, num_partitions: int = 8):
+def _unionfind_table(pairs: list[tuple[int, int]]) -> pa.Table:
+    """Driver-side union-find for BOUNDED inputs (the sanctioned small
+    path: the pair list is already in driver memory and tiny)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((x, find(x)) for x in parent)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "component": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def connected_components(
+    pairs_ds,
+    max_rounds: int = 12,
+    num_partitions: int = 8,
+    driver_threshold: int = 100_000,
+):
     """pairs Dataset (doc_a, doc_b) -> Dataset (doc_id, component)
     where component = min doc_id reachable.
 
     Only nodes that appear in at least one pair are returned (singletons
-    are their own components trivially).  Dataset-native throughout: the
-    driver sees only one scalar per round (the label-sum convergence
-    check); labels/edges stay in the object store.
+    are their own components trivially).
+
+    Inputs at or below ``driver_threshold`` pairs run exact union-find
+    on the driver — the candidate-pair table is bounded and already
+    small, and per-round Ray execution overhead would dominate.  Above
+    it, fully dataset-native label propagation: the driver sees only one
+    scalar per round (the label-sum convergence check); labels/edges
+    stay in the object store.
     """
+    import ray.data as rd
     from ray.data.aggregate import Min
 
-    edges = pairs_ds.map_batches(_symmetrize, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        import ray.data as rd
-
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
         )
+    if n_pairs <= driver_threshold:
+        pairs = [
+            (r["doc_a"], r["doc_b"])
+            for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            for r in b.to_pylist()
+        ]
+        return rd.from_arrow(_unionfind_table(pairs))
+
+    edges = pairs_ds.map_batches(_symmetrize, batch_format="pyarrow").materialize()
 
     # init: component = min(self, min neighbour)
     labels = (

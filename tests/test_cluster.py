@@ -23,7 +23,10 @@ def test_connected_components_long_chain(ray_session):
     pairs = rd.from_arrow(
         pa.table({"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))})
     )
-    labels = {r["doc_id"]: r["component"] for r in connected_components(pairs, max_rounds=8).take_all()}
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_rounds=8, driver_threshold=0).take_all()
+    }
     # label propagation halves distance per round; 8 rounds cover dist 40?
     # min-label propagation with self-join converges ~2^rounds
     assert set(labels.values()) == {0}
@@ -59,8 +62,12 @@ def test_components_match_unionfind_random(ray_session):
     ds = rd.from_arrow(
         pa.table({"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]})
     )
-    got = {r["doc_id"]: r["component"] for r in connected_components(ds).take_all()}
+    # distributed path forced; also check the driver union-find path agrees
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(ds, driver_threshold=0).take_all()}
     assert got == expected
+    got_small = {r["doc_id"]: r["component"] for r in connected_components(ds).take_all()}
+    assert got_small == expected
 
 
 def test_neardup_components_golden_sf0001(ray_session):
@@ -76,6 +83,15 @@ def test_neardup_components_golden_sf0001(ray_session):
         r["doc_id"]: r["component"] for r in q_neardup_components(sf).take_all()
     }
     assert got == expected
+    # and the distributed propagation path gives identical components
+    from kazu_ray.extras.cluster import connected_components as _cc
+    from kazu_ray.extras.dedup import q_minhash_candidates as _qmc
+
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in _cc(_qmc(sf), driver_threshold=0).take_all()
+    }
+    assert dist == expected
 
 
 def test_neardup_components_frozen_golden_sf001(ray_session):
