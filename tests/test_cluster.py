@@ -124,3 +124,33 @@ def test_simhash_batch_matches_reference_kernel():
     batch = simhash64_batch(texts)
     for t, got in zip(texts, batch):
         assert int(got) == simhash64(t)
+
+
+def test_minhash_lsh_recall_vs_exact_shingle_jaccard(ray_session):
+    """LSH candidates must recover (nearly) all true high-shingle-Jaccard
+    pairs (MinHash approximates SHINGLE-set Jaccard, not the word-set
+    measure of q_jaccard_pairs; 16 bands x 4 rows at J>=0.8 has per-pair
+    miss probability (1-J^4)^16 ~ 0.1%)."""
+    import pyarrow.parquet as pq
+
+    from kazu_ray.extras.dedup import _shingles, q_minhash_candidates
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    subset = [
+        (i, set(_shingles(t).tolist()))
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if i < 200
+    ]
+    exact = set()
+    for x in range(len(subset)):
+        for y in range(x + 1, len(subset)):
+            a_id, a_set = subset[x]
+            b_id, b_set = subset[y]
+            union = len(a_set | b_set)
+            if union and len(a_set & b_set) / union >= 0.8:
+                exact.add((min(a_id, b_id), max(a_id, b_id)))
+    assert exact, "no high-shingle-Jaccard pairs under doc_id<200; fixture assumption broken"
+    lsh = {(r["doc_a"], r["doc_b"]) for r in q_minhash_candidates(sf).take_all()}
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall} vs exact shingle Jaccard ({len(exact)} pairs)"
