@@ -18,14 +18,25 @@ import pandas as pd
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
-def q_events_sessions(sf_dir: str):
-    """Sessionization: per user, events <=30min apart share a session;
-    emit per-session (user_id, session_start_us, n_events, sum_value)."""
-    import ray.data as rd
+def sessionize_events(ds, bucket_us: int | None = None):
+    """Sessionization over an events Dataset (user_id, ts, value):
+    per user, events <=30min apart share a session; emits per-session
+    (user_id, session_start_us, n_events, sum_value).
 
+    ``bucket_us=None``: one group per user (simple path — a whale user's
+    whole history lands on one worker).
+
+    ``bucket_us=N``: whale-safe two-phase variant. Phase 1 groups by
+    (user, ts//N) so no group exceeds one user-bucket of events and
+    emits within-bucket partial sessions (start, end, count, raw sum);
+    phase 2 merges adjacent partials per user when the true boundary
+    gap <= SESSION_GAP_US — the phase-2 group size is the user's
+    SESSION-SUMMARY count (bounded by time-range/bucket), not their
+    event count.  Exactly equivalent to the simple path: within-bucket
+    chains already satisfy the gap property, and cross-bucket merges
+    test the genuine last-event/first-event gap.
+    """
     from ..functions.rounding import round_half_away
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -37,20 +48,74 @@ def q_events_sessions(sf_dir: str):
             .agg(
                 user_id=("user_id", "first"),
                 session_start_us=("_us", "min"),
+                session_end_us=("_us", "max"),
                 n_events=("ts", "size"),
                 sum_value=("value", "sum"),
             )
             .reset_index(drop=True)
         )
         out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 3)
         return out
 
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["session_end_us"])
+        df["sum_value"] = round_half_away(df["sum_value"].to_numpy(), 3)
+        return df
+
+    if bucket_us is None:
+        grouped = ds.groupby("user_id").map_groups(
+            lambda g: finalize(sessionize(g)), batch_format="pandas"
+        )
+        return grouped.sort(["user_id", "session_start_us"])
+
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_bucket"] = g["ts"].astype("int64") // bucket_us
+        return g
+
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start_us").reset_index(drop=True)
+        starts = g["session_start_us"].to_numpy()
+        ends = g["session_end_us"].to_numpy()
+        merged_rows = []
+        cur = None
+        for i in range(len(g)):
+            if cur is not None and starts[i] - cur["session_end_us"] <= SESSION_GAP_US:
+                cur["session_end_us"] = max(cur["session_end_us"], int(ends[i]))
+                cur["n_events"] += int(g["n_events"].iloc[i])
+                cur["sum_value"] += float(g["sum_value"].iloc[i])
+            else:
+                if cur is not None:
+                    merged_rows.append(cur)
+                cur = {
+                    "user_id": g["user_id"].iloc[0],
+                    "session_start_us": int(starts[i]),
+                    "session_end_us": int(ends[i]),
+                    "n_events": int(g["n_events"].iloc[i]),
+                    "sum_value": float(g["sum_value"].iloc[i]),
+                }
+        if cur is not None:
+            merged_rows.append(cur)
+        return finalize(pd.DataFrame(merged_rows))
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(lambda g: sessionize(g.drop(columns=["_bucket"])), batch_format="pandas")
+    )
     return (
-        ds.groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        partials.groupby("user_id")
+        .map_groups(merge_partials, batch_format="pandas")
         .sort(["user_id", "session_start_us"])
     )
+
+
+def q_events_sessions(sf_dir: str, bucket_us: int | None = None):
+    """Sessionization query over events.parquet (see sessionize_events)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return sessionize_events(ds, bucket_us=bucket_us)
 
 
 def q_asof_join(sf_dir: str):

@@ -1,0 +1,77 @@
+"""Sessionization: whale-safe two-phase bucketed variant must be exactly
+equivalent to the per-user path (which the DuckDB oracle checks)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from kazu_ray.extras.windows import SESSION_GAP_US, sessionize_events
+
+HOUR_US = 3600 * 1_000_000
+
+
+def _rows(ds):
+    return [
+        (r["user_id"], r["session_start_us"], r["n_events"], r["sum_value"])
+        for r in ds.take_all()
+    ]
+
+
+def test_bucketed_equals_simple_on_real_data(ray_session):
+    from kazu_ray.extras.windows import q_events_sessions
+
+    sf = "/root/testdata/sf0.001"
+    simple = _rows(q_events_sessions(sf))
+    bucketed = _rows(q_events_sessions(sf, bucket_us=6 * HOUR_US))
+    assert bucketed == simple
+
+
+def test_bucket_boundary_cases(ray_session):
+    import ray.data as rd
+
+    gap = SESSION_GAP_US
+    bucket = 4 * gap
+    # user 1: a session STRADDLING a bucket edge (events just inside the
+    # gap across the boundary); user 2: events separated by exactly the
+    # gap (same session) and gap+1 (new session)
+    events = [
+        (1, bucket - gap // 2, 1.0),
+        (1, bucket + gap // 4, 2.0),       # crosses the boundary, gap < limit
+        (2, 0, 1.0),
+        (2, gap, 1.0),                      # == gap -> same session
+        (2, 2 * gap + 1, 5.0),              # gap+1 -> new session
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": [e[0] for e in events],
+                "ts": [e[1] for e in events],
+                "value": [e[2] for e in events],
+            }
+        )
+    )
+    simple = _rows(sessionize_events(ds))
+    bucketed = _rows(sessionize_events(ds, bucket_us=bucket))
+    assert bucketed == simple
+    by_user: dict = {}
+    for u, start, n, v in simple:
+        by_user.setdefault(u, []).append((start, n, v))
+    assert len(by_user[1]) == 1 and by_user[1][0][1] == 2  # straddling merged
+    assert [s[1] for s in by_user[2]] == [2, 1]
+
+
+def test_whale_user_bucketed(ray_session):
+    """A single hot user with one continuous mega-session: phase-1
+    groups stay bucket-sized and the merge reconstructs one session."""
+    import numpy as np
+    import ray.data as rd
+
+    n = 20_000
+    step = SESSION_GAP_US // 2
+    ts = (np.arange(n, dtype=np.int64) * step).tolist()
+    ds = rd.from_arrow(
+        pa.table({"user_id": [42] * n, "ts": ts, "value": [0.5] * n})
+    )
+    out = _rows(sessionize_events(ds, bucket_us=50 * SESSION_GAP_US))
+    assert len(out) == 1
+    assert out[0][0] == 42 and out[0][2] == n
