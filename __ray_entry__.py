@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk": q_orders_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        # whale-safe two-phase variant: same oracle, exact equality
+        "events_sessions_bucketed": lambda sf: q_events_sessions(
+            sf, bucket_us=6 * 3600 * 1_000_000
+        ),
         "asof_join": q_asof_join,
         "distinct_flags": q_distinct_flags,
         "region_customer_counts": q_region_customer_counts,
@@ -223,6 +227,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            s AS (
+              SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                               OR us - LAG(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ), t AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
+            FROM t GROUP BY user_id, sid ORDER BY user_id, session_start_us
+        """,
+"events_sessions_bucketed": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
             s AS (
               SELECT *, CASE WHEN LAG(us) OVER w IS NULL
