@@ -128,7 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from kazu_ray.extras.cluster import q_neardup_components
     from kazu_ray.extras.windows import q_asof_join, q_events_sessions
-    from kazu_ray.extras.multimodal import q_media_features
+    from kazu_ray.extras.multimodal import q_media_features, q_media_metadata, q_video_frames
     from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk
     from kazu_ray.extras.text_analysis import (
         q_doc_fingerprint,
@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
         # --- multimodal plumbing (rows-only; decode is stubbed)
         "media_features": q_media_features,
+        "media_metadata": q_media_metadata,  # real header parse over synthetic PNGs
+        "video_frames": q_video_frames,
     }
 
 

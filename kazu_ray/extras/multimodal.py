@@ -4,19 +4,29 @@ typed metadata, processed by actor-pool decode/feature stages.
 The interleaved input schema carries media spans (kind in
 {"image","table",...}, empty text, non-empty media_ref) through the KG
 pipeline untouched (span-sequence invariant).  This module adds the
-side path a multimodal corpus needs: decode -> feature-extract as a
-``map_batches`` actor stage.
+side paths a multimodal corpus needs, each a ``map_batches`` actor
+stage:
 
-No image/audio codecs exist in this container, so the decode is STUBBED:
-``RealDecoder`` raises NotImplementedError (wire PIL/ffmpeg there on a
-real cluster); ``FakeDecoder`` produces a deterministic byte-hash
-feature so the Ray-side plumbing — schema, batch size, actor signature,
-output layout — is real and tested end-to-end.
+- feature extraction (``MediaFeatureExtractor``)
+- typed metadata via REAL container-header parsing
+  (``parse_image_header``: PNG IHDR / JPEG SOF / GIF descriptor — pure
+  stdlib, works on genuine corpus bytes; the synthetic payloads are
+  VALID PNGs built by :func:`make_png`, so this path is exercised for
+  real, not mocked)
+- video frame sampling (``VideoFrameSampler``: every k-th fixed-size
+  frame exploded to its own row — the layout/batching contract of a
+  decode-bound GPU stage)
+
+Full pixel decode (PIL/ffmpeg) is the only stubbed seam —
+``RealDecoder`` raises, documented; swap it in on a cluster with codecs
+and nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -34,6 +44,62 @@ MEDIA_FEATURES_SCHEMA = pa.schema(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A minimal VALID grayscale PNG (signature + IHDR + IDAT + IEND,
+    correct CRCs, zlib-compressed seeded scanlines) — deterministic
+    synthetic payloads the real header parser can decode."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rng = np.random.default_rng(seed)
+    raw = b"".join(b"\x00" + rng.bytes(width) for _ in range(height))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from real container headers — PNG IHDR,
+    JPEG SOF0/1/2 markers, GIF logical screen descriptor.  Pure stdlib;
+    returns None for unknown formats."""
+    if data[:8] == _PNG_SIG and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return ("png", w, h)
+    if data[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return ("gif", w, h)
+    return None
+
+
 class RealDecoder:
     """Placeholder for a real codec-backed decoder (PIL / torchvision /
     ffmpeg).  Not available in this container."""
@@ -45,13 +111,26 @@ class RealDecoder:
         )
 
 
-class FakeDecoder:
-    """Deterministic stand-in: 'decodes' a media_ref into a seeded byte
-    payload so feature extraction has real bytes to chew on."""
+FRAME_BYTES = 64  # fixed synthetic frame size for the video layout
 
-    def decode(self, media_ref: str) -> bytes:
-        seed = hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
-        rng = np.random.default_rng(int.from_bytes(seed, "big"))
+
+class FakeDecoder:
+    """Deterministic media fetch stand-in keyed by (media_ref, kind):
+    image refs yield VALID PNG bytes (seeded dims 16-128), video refs a
+    fixed-frame-size byte stream, everything else seeded raw bytes."""
+
+    def decode(self, media_ref: str, kind: str = "blob") -> bytes:
+        seed = int.from_bytes(
+            hashlib.blake2b(media_ref.encode(), digest_size=8).digest(), "big"
+        )
+        rng = np.random.default_rng(seed)
+        if kind == "image":
+            w = 16 + int(rng.integers(0, 113))
+            h = 16 + int(rng.integers(0, 113))
+            return make_png(w, h, seed=seed)
+        if kind == "video":
+            n_frames = 8 + int(rng.integers(0, 25))
+            return rng.bytes(FRAME_BYTES * n_frames)
         return rng.bytes(256)
 
 
@@ -75,7 +154,7 @@ class MediaFeatureExtractor:
         ):
             for i, sp in enumerate(spans):
                 if sp["media_ref"]:
-                    payload = self.decoder.decode(sp["media_ref"])
+                    payload = self.decoder.decode(sp["media_ref"], sp["kind"])
                     doc_ids.append(doc_id)
                     span_idxs.append(i)
                     kinds.append(sp["kind"])
@@ -91,6 +170,141 @@ class MediaFeatureExtractor:
             },
             schema=MEDIA_FEATURES_SCHEMA,
         )
+
+
+MEDIA_METADATA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("format", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+class MediaMetadataExtractor:
+    """Actor-pool UDF: media spans -> typed metadata rows via REAL
+    container-header parsing (parse_image_header); non-image payloads
+    get format='' and -1 dims but keep their byte size."""
+
+    def __init__(self, decoder: str = "fake"):
+        self.decoder = FakeDecoder() if decoder == "fake" else RealDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in MEDIA_METADATA_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for i, sp in enumerate(spans):
+                if not sp["media_ref"]:
+                    continue
+                payload = self.decoder.decode(sp["media_ref"], sp["kind"])
+                hdr = parse_image_header(payload)
+                cols["doc_id"].append(doc_id)
+                cols["span_idx"].append(i)
+                cols["kind"].append(sp["kind"])
+                cols["media_ref"].append(sp["media_ref"])
+                cols["format"].append(hdr[0] if hdr else "")
+                cols["width"].append(hdr[1] if hdr else -1)
+                cols["height"].append(hdr[2] if hdr else -1)
+                cols["n_bytes"].append(len(payload))
+        return pa.Table.from_pydict(cols, schema=MEDIA_METADATA_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("media_ref", pa.string()),
+        ("frame_no", pa.int32()),
+        ("feature", pa.list_(pa.float32(), FEATURE_DIM)),
+    ]
+)
+
+
+class VideoFrameSampler:
+    """Actor-pool UDF: every ``stride``-th fixed-size frame of a video
+    span exploded to its own row with a per-frame feature — the row
+    layout a decode-bound GPU stage would feed; small batch sizes keep
+    payload x concurrency inside the worker heap."""
+
+    def __init__(self, stride: int = 4, decoder: str = "fake"):
+        self.stride = stride
+        self.decoder = FakeDecoder() if decoder == "fake" else RealDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in FRAME_SAMPLE_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for i, sp in enumerate(spans):
+                if sp["kind"] != "video" or not sp["media_ref"]:
+                    continue
+                payload = self.decoder.decode(sp["media_ref"], "video")
+                n_frames = len(payload) // FRAME_BYTES
+                for f in range(0, n_frames, self.stride):
+                    frame = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    arr = np.frombuffer(frame, dtype=np.uint8).astype(np.float32)
+                    chunks = np.array_split(arr, FEATURE_DIM)
+                    cols["doc_id"].append(doc_id)
+                    cols["span_idx"].append(i)
+                    cols["media_ref"].append(sp["media_ref"])
+                    cols["frame_no"].append(f)
+                    cols["feature"].append(
+                        [float(round(c.mean() / 255.0, 6)) for c in chunks]
+                    )
+        return pa.Table.from_pydict(cols, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def q_media_metadata(sf_dir: str):
+    """Media spans -> typed metadata (real header parse); average image
+    dims per kind (rows-only check)."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..sources.interleave import interleaved_docs
+
+    meta = interleaved_docs(sf_dir).map_batches(
+        MediaMetadataExtractor,
+        fn_constructor_args=("fake",),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return (
+        meta.groupby(["kind", "format"])
+        .aggregate(
+            Count(alias_name="n_media"),
+            Mean("width", alias_name="avg_width"),
+            Mean("height", alias_name="avg_height"),
+        )
+        .sort(["kind", "format"])
+    )
+
+
+def q_video_frames(sf_dir: str, stride: int = 4):
+    """Sampled video frames; per-video frame counts (rows-only check)."""
+    from ray.data.aggregate import Count
+
+    from ..sources.interleave import interleaved_docs
+
+    frames = interleaved_docs(sf_dir).map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(stride, "fake"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return (
+        frames.groupby("media_ref")
+        .aggregate(Count(alias_name="n_frames"))
+        .sort("media_ref")
+    )
 
 
 def q_media_features(sf_dir: str):

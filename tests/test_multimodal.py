@@ -1,0 +1,66 @@
+"""Multimodal stages: real container-header parsing, frame sampling,
+and the feature plumbing."""
+
+import struct
+
+from kazu_ray.extras.multimodal import (
+    FRAME_BYTES,
+    FakeDecoder,
+    make_png,
+    parse_image_header,
+)
+
+
+def test_make_png_is_valid_and_parsed():
+    data = make_png(37, 21, seed=5)
+    assert parse_image_header(data) == ("png", 37, 21)
+    # CRCs are genuine: corrupting the IHDR body breaks the stored CRC
+    import zlib
+
+    body = data[12:16 + 13]  # tag + ihdr body
+    stored_crc = struct.unpack(">I", data[8 + 4 + 4 + 13 : 8 + 4 + 4 + 13 + 4])[0]
+    assert zlib.crc32(body) & 0xFFFFFFFF == stored_crc
+
+
+def test_parse_jpeg_and_gif_headers():
+    # handcrafted JPEG: SOI + APP0 stub + SOF0 with h=480 w=640
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03\x00\x00\x00"
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(b"garbage-bytes") is None
+
+
+def test_fake_decoder_kinds():
+    d = FakeDecoder()
+    img = d.decode("media://1/2", "image")
+    fmt, w, h = parse_image_header(img)
+    assert fmt == "png" and 16 <= w <= 128 and 16 <= h <= 128
+    vid = d.decode("media://1/3", "video")
+    assert len(vid) % FRAME_BYTES == 0 and len(vid) >= 8 * FRAME_BYTES
+    # determinism
+    assert d.decode("media://1/2", "image") == img
+
+
+def test_media_metadata_query(ray_session):
+    from kazu_ray.extras.multimodal import q_media_metadata
+
+    rows = q_media_metadata("/root/testdata/sf0.001").take_all()
+    by_kind = {(r["kind"], r["format"]): r for r in rows}
+    img = by_kind[("image", "png")]
+    assert img["n_media"] > 0 and 16 <= img["avg_width"] <= 128
+    # non-image kinds parse to no format
+    assert all(k[1] == "" for k in by_kind if k[0] != "image")
+
+
+def test_video_frames_query(ray_session):
+    from kazu_ray.extras.multimodal import q_video_frames
+
+    rows = q_video_frames("/root/testdata/sf0.001").take_all()
+    assert rows
+    # stride 4 over 8..32 frames -> 2..8 sampled
+    assert all(2 <= r["n_frames"] <= 8 for r in rows)
