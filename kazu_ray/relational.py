@@ -81,32 +81,42 @@ def q_orders_topk(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(t)
-        return (
-            df.with_columns(
-                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
-            )
-            .group_by("l_orderkey")
-            .agg(pl.col("rev").sum())
-            .to_arrow()
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+    def block_topk(t: pa.Table) -> pa.Table:
+        # keys are unique after the groupby, so per-block top-10 covers
+        # the global top-10; no global sort needed
+        if t.num_rows <= 10:
+            return t
+        order = pc.sort_indices(
+            t, sort_keys=[("revenue", "descending"), ("l_orderkey", "ascending")]
+        )
+        return t.take(order.slice(0, 10))
+
+    grouped = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
-        .sort(["revenue", "l_orderkey"], descending=[True, False])
-        .limit(10)
+        .map_batches(block_topk, batch_format="pyarrow")
     )
-    return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("revenue"), "revenue", pc_round_sql(t["revenue"], 2)
-        ),
-        batch_format="pyarrow",
+    # tiny merge: <=10 rows per block survive
+    import ray.data as rd
+
+    merged = pa.concat_tables(
+        grouped.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    order = pc.sort_indices(
+        merged, sort_keys=[("revenue", "descending"), ("l_orderkey", "ascending")]
+    )
+    top = merged.take(order.slice(0, 10))
+    top = top.set_column(
+        top.schema.get_field_index("revenue"), "revenue", pc_round_sql(top["revenue"], 2)
+    )
+    return rd.from_arrow(top)
 
 
 def q_events_hourly(sf_dir: str):
