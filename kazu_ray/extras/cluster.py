@@ -95,6 +95,9 @@ def connected_components(
     import ray.data as rd
     from ray.data.aggregate import Min
 
+    # materialize once: count() and the consumption below must not
+    # re-execute an expensive upstream (e.g. the MinHash/LSH pipeline)
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return rd.from_arrow(
@@ -127,18 +130,15 @@ def connected_components(
         )
         .materialize()
     )
-    def _block_sum(mat_ds) -> int:
-        # convergence metric over an already-materialized label table:
-        # a driver-side scan of cached blocks (vectorized, no new Ray
-        # execution — labels only ever decrease, so sum is monotone
+    def _label_sum(mat_ds) -> int:
+        # convergence metric over the already-materialized label table:
+        # a distributed aggregate over cached blocks — the driver sees
+        # ONE scalar (labels only ever decrease, so the sum is monotone
         # until fixpoint)
-        total = 0
-        for b in mat_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-            if b.num_rows:
-                total += pc.sum(b.column("component")).as_py()
-        return total
+        s = mat_ds.sum("component")
+        return int(s) if s is not None else 0
 
-    prev_sum = _block_sum(labels)
+    prev_sum = _label_sum(labels)
 
     for _ in range(max_rounds):
         # ONE Ray execution per round (in-session executions carry fixed
@@ -205,7 +205,7 @@ def connected_components(
             .materialize()
         )
 
-        s = _block_sum(labels)
+        s = _label_sum(labels)
         if s == prev_sum:
             break
         prev_sum = s

@@ -319,7 +319,11 @@ def q_embedding_neardup(
 
     n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     if n_rows > broadcast_limit:
-        return _embedding_neardup_cells(sf_dir, threshold, n_cells)
+        # cells must scale with the corpus so one cell's pairwise matmul
+        # fits a worker: target ~8k vectors/cell including replicas
+        replicas = 3
+        scaled_cells = max(n_cells, -(-n_rows * replicas // 8192))
+        return _embedding_neardup_cells(sf_dir, threshold, scaled_cells, replicas=replicas)
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)

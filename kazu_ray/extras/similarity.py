@@ -206,19 +206,40 @@ def q_ivf_topk(
     import ray
     import ray.data as rd
 
-    if staging_dir is None:
-        import hashlib
+    import hashlib
 
-        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_cells}".encode()).hexdigest()[:12]
-        staging_dir = os.path.join(tempfile.gettempdir(), f"kazu_ray_ivf_{tag}")
-    # staging is resumable: skip the build if the partitioned layout +
-    # centroid table already exist
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    # fingerprint covers the INPUT FILE's identity (path + size + mtime),
+    # not just its path: regenerated data at the same path must not serve
+    # stale staged vectors
+    fingerprint = hashlib.md5(
+        f"{os.path.abspath(src)}|{n_cells}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    if staging_dir is None:
+        staging_dir = os.path.join(tempfile.gettempdir(), f"kazu_ray_ivf_{fingerprint}")
+    # staging is resumable: reuse only when the completed-build marker
+    # matches this exact input fingerprint; otherwise rebuild from clean
+    # (write_parquet appends — a partial build must not be appended to)
     cent_path = os.path.join(staging_dir, "_centroids.npy")
-    if os.path.isfile(cent_path):
+    fp_path = os.path.join(staging_dir, "_fingerprint.txt")
+    valid = (
+        os.path.isfile(cent_path)
+        and os.path.isfile(fp_path)
+        and open(fp_path).read() == fingerprint
+    )
+    if valid:
         centroids = np.load(cent_path)
     else:
+        import shutil
+
+        if os.path.isdir(staging_dir):
+            shutil.rmtree(staging_dir)
         centroids = build_ivf_index(sf_dir, staging_dir, n_cells=n_cells)
         np.save(cent_path, centroids)
+        with open(fp_path + ".tmp", "w") as f:
+            f.write(fingerprint)
+        os.replace(fp_path + ".tmp", fp_path)
 
     q_ids, q_mat = _query_vectors(sf_dir, n_queries)
     probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)

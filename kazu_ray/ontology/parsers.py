@@ -140,6 +140,7 @@ _OBO_SYNONYM_RE = re.compile(
     \s*
     (?P<mapping>\w*)
     \s*
+    (?:[\w:-]+\s*)?      # optional synonym-type id (OBO 1.4), e.g. OMO:0003005
     \[[^\]]*\]""",
     re.VERBOSE,
 )
@@ -255,6 +256,23 @@ _TTL_TOKEN = re.compile(
 )
 
 
+_TTL_ESCAPE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[tbnrf\"'\\])")
+_TTL_ESCAPE_MAP = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _decode_ttl_escapes(s: str) -> str:
+    """Turtle string-escape decoding on the TEXT (never via bytes —
+    ``unicode_escape`` would mojibake all non-ASCII label content)."""
+
+    def sub(m: re.Match) -> str:
+        esc = m.group(1)
+        if esc[0] in "uU":
+            return chr(int(esc[1:], 16))
+        return _TTL_ESCAPE_MAP[esc]
+
+    return _TTL_ESCAPE.sub(sub, s)
+
+
 def parse_turtle(path: str) -> TripleStore:
     """Self-contained reader for the Turtle subset real ontology exports
     use: @prefix, IRIs, prefixed names, ``a``, string literals with
@@ -270,7 +288,14 @@ def parse_turtle(path: str) -> TripleStore:
 
     text = open(path).read()
     tokens: list[tuple[str, str]] = []
+    pos = 0
     for m in _TTL_TOKEN.finditer(text):
+        if m.start() != pos:
+            bad = text[pos : m.start()]
+            raise ValueError(
+                f"{path}: untokenizable turtle at offset {pos}: {bad[:40]!r}"
+            )
+        pos = m.end()
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
@@ -283,9 +308,19 @@ def parse_turtle(path: str) -> TripleStore:
             continue
         tokens.append((kind, val))
 
+    if pos != len(text):
+        raise ValueError(
+            f"{path}: untokenizable turtle at offset {pos}: {text[pos:pos+40]!r}"
+        )
+
     store = TripleStore()
     prefixes: dict[str, str] = {}
     i = 0
+
+    def tok(j: int) -> tuple[str, str]:
+        if j >= len(tokens):
+            raise ValueError(f"{path}: truncated turtle (statement not terminated)")
+        return tokens[j]
 
     def resolve(kind: str, val: str) -> str:
         if kind == "iri":
@@ -298,7 +333,7 @@ def parse_turtle(path: str) -> TripleStore:
         if kind == "bnode":
             return val
         if kind == "literal":
-            return val[1:-1].encode().decode("unicode_escape")
+            return _decode_ttl_escapes(val[1:-1])
         if kind == "kw" and val == "a":
             return _RDF_TYPE
         raise ValueError(f"unexpected term {val!r}")
@@ -307,8 +342,8 @@ def parse_turtle(path: str) -> TripleStore:
         kind, val = tokens[i]
         if kind == "kw" and val == "@prefix":
             # @prefix pfx: <iri> .
-            pfx_tok = tokens[i + 1][1]
-            iri_tok = tokens[i + 2]
+            pfx_tok = tok(i + 1)[1]
+            iri_tok = tok(i + 2)
             prefixes[pfx_tok.rstrip(":")] = iri_tok[1][1:-1]
             i += 4  # skip the closing '.'
             continue
@@ -316,10 +351,10 @@ def parse_turtle(path: str) -> TripleStore:
         subj = resolve(kind, val)
         i += 1
         while True:
-            pred = resolve(*tokens[i])
+            pred = resolve(*tok(i))
             i += 1
             while True:
-                okind, oval = tokens[i]
+                okind, oval = tok(i)
                 obj = resolve(okind, oval)
                 i += 1
                 # swallow @lang / ^^datatype on literals
@@ -329,18 +364,18 @@ def parse_turtle(path: str) -> TripleStore:
                     else:
                         i += 1
                 store.add(subj, pred, obj)
-                if tokens[i][1] == ",":
+                if tok(i)[1] == ",":
                     i += 1
                     continue
                 break
-            if tokens[i][1] == ";":
+            if tok(i)[1] == ";":
                 i += 1
                 # tolerate trailing ';' before '.'
-                if tokens[i][1] == ".":
+                if tok(i)[1] == ".":
                     i += 1
                     break
                 continue
-            if tokens[i][1] == ".":
+            if tok(i)[1] == ".":
                 i += 1
                 break
         # next statement
@@ -539,7 +574,7 @@ class MeddraParser:
             names=_LLT_COLS,
             usecols=("llt_name", "pt_code"),
             dtype="string",
-        ).dropna(axis=1)
+        ).dropna(subset=["llt_name", "pt_code"])  # drop incomplete ROWS
 
         # vectorized join replaces the reference's per-row scan
         pt = hier_df[["pt_code", "pt_name"]]

@@ -273,13 +273,23 @@ def run_partitioned(
     # --- single-scan staging write ------------------------------------
     staging = os.path.join(out_dir, "_staging")
     marker = os.path.join(staging, "_SUCCESS.json")
+    input_path = f"{sf_dir}/documents.parquet"
     staging_ok = False
     if resume and os.path.exists(marker):
         with open(marker) as f:
             staging_rec = json.load(f)
-        staging_ok = staging_rec.get("num_partitions") == num_partitions
+        staging_ok = (
+            staging_rec.get("num_partitions") == num_partitions
+            and staging_rec.get("input") == os.path.abspath(input_path)
+        )
     if not staging_ok:
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        # clear any partial/stale layout first: write_parquet appends, so
+        # rebuilding into leftover part dirs would silently duplicate docs
+        import shutil
+
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        ds = rd.read_parquet(input_path, columns=["doc_id", "text"])
 
         def _add_part(t, n=num_partitions):
             mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], n), n))
@@ -288,8 +298,11 @@ def run_partitioned(
         ds.map_batches(_add_part, batch_format="pyarrow").write_parquet(
             staging, partition_cols=["part"]
         )
-        with open(marker, "w") as f:
-            json.dump({"num_partitions": num_partitions, "input": f"{sf_dir}/documents.parquet"}, f)
+        with open(marker + ".tmp", "w") as f:
+            json.dump(
+                {"num_partitions": num_partitions, "input": os.path.abspath(input_path)}, f
+            )
+        os.replace(marker + ".tmp", marker)
 
     def _part_dataset(part: int):
         d = os.path.join(staging, f"part={part}")

@@ -106,8 +106,12 @@ def q_orders_topk(sf_dir: str):
     # tiny merge: <=10 rows per block survive
     import ray.data as rd
 
+    empty = pa.table(
+        {"l_orderkey": pa.array([], pa.int64()), "revenue": pa.array([], pa.float64())}
+    )
     merged = pa.concat_tables(
-        grouped.iter_batches(batch_format="pyarrow", batch_size=None)
+        [empty, *grouped.iter_batches(batch_format="pyarrow", batch_size=None)],
+        promote_options="permissive",
     )
     order = pc.sort_indices(
         merged, sort_keys=[("revenue", "descending"), ("l_orderkey", "ascending")]

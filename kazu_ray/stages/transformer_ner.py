@@ -181,7 +181,9 @@ def split_numerical_list(match: str) -> list[str]:
 
 
 _CONJ_WORDS = ("and", "or", "nor")
-_CONJ_SPLIT = re.compile(r"\s*,\s*|\s+(?:and|or|nor)\s+")
+# ", and " (Oxford comma) must be ONE separator, not a comma split that
+# leaves "and X" as an item
+_CONJ_SPLIT = re.compile(r"\s*,\s*(?:(?:and|or|nor)\s+)?|\s+(?:and|or|nor)\s+")
 
 
 def split_conjunction(match: str) -> list[str]:

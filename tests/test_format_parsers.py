@@ -196,3 +196,64 @@ def test_formats_compile_end_to_end(ray_session, tmp_path):
         for ids in id_set
     }
     assert "MONDO" in sources or "HP" in sources
+
+
+# --- round-2 review regression cases ---------------------------------------
+
+
+def test_turtle_unicode_literals(tmp_path):
+    from kazu_ray.ontology.parsers import parse_turtle
+
+    p = tmp_path / "u.ttl"
+    p.write_text(
+        '@prefix ex: <http://e.org/> .\n'
+        'ex:a ex:label "café disease" .\n'
+        'ex:b ex:label "\\u03b1-synuclein" .\n',
+        encoding="utf-8",
+    )
+    store = parse_turtle(str(p))
+    objs = {o for (_s, _p, o) in store.triples}
+    assert "café disease" in objs       # no mojibake
+    assert "α-synuclein" in objs         # \u escape decoded
+
+
+def test_turtle_truncated_raises_clean_error(tmp_path):
+    from kazu_ray.ontology.parsers import parse_turtle
+
+    p = tmp_path / "t.ttl"
+    p.write_text('@prefix ex: <http://e.org/> .\nex:a ex:b "unterminated"', encoding="utf-8")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_turtle(str(p))
+
+
+def test_obo_synonym_type_id_accepted(tmp_path):
+    from kazu_ray.ontology.parsers import OboFlatParser
+
+    p = tmp_path / "s.obo"
+    p.write_text(
+        "[Term]\nid: X:1\nname: thing\n"
+        'synonym: "Hela cell" EXACT OMO:0003005 []\n',
+        encoding="utf-8",
+    )
+    df = OboFlatParser(str(p), "cell_line", "T", parse_synonyms=True).parse_to_dataframe()
+    assert "Hela cell" in set(df["syn"])
+
+
+def test_meddra_incomplete_llt_row_dropped(tmp_path):
+    import os as _os
+
+    from kazu_ray.ontology.parsers import MeddraParser
+
+    d = tmp_path / "meddra"
+    d.mkdir()
+    (d / "mdhier.asc").write_text(
+        "10000001$20000001$30000001$40000001$Pain$HLT$HLGT$SOC name$S$$40000001$Y$\n"
+    )
+    # second row has an empty pt_code -> row dropped, parse survives
+    (d / "llt.asc").write_text(
+        "10000002$Ache$10000001$$$$$$$Y$$\n"
+        "10000003$Orphan$$$$$$$$Y$$\n"
+    )
+    df = MeddraParser(str(d)).parse_to_dataframe()
+    assert "Ache" in set(df["syn"])
+    assert "Orphan" not in set(df["syn"])

@@ -197,3 +197,11 @@ def test_conjunction_entities_emitted():
     # drive _pieces directly for the full phrase shape
     pieces = ner._pieces("skin, lung and breast cancer", "disease")
     assert "skin cancer" in pieces and "lung cancer" in pieces
+
+
+def test_split_conjunction_oxford_comma():
+    from kazu_ray.stages.transformer_ner import split_conjunction
+
+    assert set(split_conjunction("skin, lung, and breast cancer")) == {
+        "breast cancer", "skin cancer", "lung cancer",
+    }
