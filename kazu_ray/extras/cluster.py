@@ -131,18 +131,22 @@ def connected_components(
         .materialize()
     )
     def _label_sum(mat_ds) -> int:
-        # convergence metric over the already-materialized label table:
-        # a distributed aggregate over cached blocks — the driver sees
-        # ONE scalar (labels only ever decrease, so the sum is monotone
-        # until fixpoint)
+        # convergence metric: a distributed aggregate over the already-
+        # materialized label blocks.  This IS a (cheap) second Ray
+        # execution per round — accepted: it reads cached blocks and
+        # ships one scalar to the driver, vs streaming the whole label
+        # table driver-side (labels only decrease, so the sum is
+        # monotone until fixpoint).
         s = mat_ds.sum("component")
         return int(s) if s is not None else 0
 
     prev_sum = _label_sum(labels)
 
     for _ in range(max_rounds):
-        # ONE Ray execution per round (in-session executions carry fixed
-        # overhead; 4 executions/round made long runs quadratic-feeling):
+        # ONE heavy execution per round, plus the cheap cached-block
+        # convergence aggregate (in-session executions carry fixed
+        # overhead; round 1's 4 heavy executions/round made long runs
+        # quadratic-feeling):
         #   hop:  edges ⋈ labels → candidates, union old, min per node
         #   jump: candidates ⋈ labels-as-parent (the PRE-hop table, which
         #         is already materialized so the self-join doesn't fork

@@ -377,8 +377,9 @@ def _embedding_neardup_cells(sf_dir: str, threshold: float, n_cells: int, replic
     from .similarity import _batch_matrix, _kmeans
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # sample scales with the cell count (see similarity.build_ivf_index)
     sample = pa.concat_tables(
-        ds.limit(4096).iter_batches(batch_format="pyarrow", batch_size=None)
+        ds.limit(max(4096, 16 * n_cells)).iter_batches(batch_format="pyarrow", batch_size=None)
     )
     _, sample_mat = _batch_matrix(sample)
     centroids = _kmeans(sample_mat, n_cells)

@@ -80,6 +80,10 @@ def build_ivf_index(
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
+    # the sample must scale with the cell count (>=16 samples/centroid)
+    # or clustering degenerates and _kmeans silently caps the cells,
+    # breaking the per-cell size bound callers rely on
+    sample_size = max(sample_size, 16 * n_cells)
     sample_tbl = pa.concat_tables(
         ds.limit(sample_size).iter_batches(batch_format="pyarrow", batch_size=None)
     )
@@ -207,17 +211,26 @@ def q_ivf_topk(
     import ray.data as rd
 
     import hashlib
+    import shutil
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     # fingerprint covers the INPUT FILE's identity (path + size + mtime),
     # not just its path: regenerated data at the same path must not serve
     # stale staged vectors
+    path_tag = hashlib.md5(f"{os.path.abspath(src)}|{n_cells}".encode()).hexdigest()[:12]
     fingerprint = hashlib.md5(
         f"{os.path.abspath(src)}|{n_cells}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     if staging_dir is None:
-        staging_dir = os.path.join(tempfile.gettempdir(), f"kazu_ray_ivf_{fingerprint}")
+        # path_tag groups all generations of this input under one prefix
+        # so stale generations can be reaped below; fingerprint selects
+        # the current one
+        prefix = f"kazu_ray_ivf_{path_tag}_"
+        staging_dir = os.path.join(tempfile.gettempdir(), prefix + fingerprint)
+        for old in os.listdir(tempfile.gettempdir()):
+            if old.startswith(prefix) and old != prefix + fingerprint:
+                shutil.rmtree(os.path.join(tempfile.gettempdir(), old), ignore_errors=True)
     # staging is resumable: reuse only when the completed-build marker
     # matches this exact input fingerprint; otherwise rebuild from clean
     # (write_parquet appends — a partial build must not be appended to)
@@ -231,10 +244,23 @@ def q_ivf_topk(
     if valid:
         centroids = np.load(cent_path)
     else:
-        import shutil
-
         if os.path.isdir(staging_dir):
-            shutil.rmtree(staging_dir)
+            # only ever delete OUR artifacts — a caller-supplied dir may
+            # hold unrelated files
+            known = [
+                e
+                for e in os.listdir(staging_dir)
+                if e.startswith("cell=") or e.startswith("_centroids.npy") or e.startswith("_fingerprint.txt")
+            ]
+            foreign = set(os.listdir(staging_dir)) - set(known)
+            if foreign:
+                raise ValueError(
+                    f"staging_dir {staging_dir} holds non-staging entries {sorted(foreign)[:5]}; "
+                    "refusing to clear it — pass an empty or dedicated directory"
+                )
+            for e in known:
+                p = os.path.join(staging_dir, e)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         centroids = build_ivf_index(sf_dir, staging_dir, n_cells=n_cells)
         np.save(cent_path, centroids)
         with open(fp_path + ".tmp", "w") as f:

@@ -286,7 +286,8 @@ def parse_turtle(path: str) -> TripleStore:
     except ImportError:
         pass
 
-    text = open(path).read()
+    # utf-8-sig: tolerate a BOM, which real exports frequently carry
+    text = open(path, encoding="utf-8-sig").read()
     tokens: list[tuple[str, str]] = []
     pos = 0
     for m in _TTL_TOKEN.finditer(text):
@@ -344,8 +345,10 @@ def parse_turtle(path: str) -> TripleStore:
             # @prefix pfx: <iri> .
             pfx_tok = tok(i + 1)[1]
             iri_tok = tok(i + 2)
+            if tok(i + 3)[1] != ".":
+                raise ValueError(f"{path}: @prefix statement not terminated with '.'")
             prefixes[pfx_tok.rstrip(":")] = iri_tok[1][1:-1]
-            i += 4  # skip the closing '.'
+            i += 4
             continue
         # subject
         subj = resolve(kind, val)

@@ -274,13 +274,18 @@ def run_partitioned(
     staging = os.path.join(out_dir, "_staging")
     marker = os.path.join(staging, "_SUCCESS.json")
     input_path = f"{sf_dir}/documents.parquet"
+    # input identity = path + size + mtime: regenerated data at the same
+    # path must invalidate BOTH the staging layout and per-partition
+    # lineage (resume must never serve outputs computed from other data)
+    st = os.stat(input_path)
+    input_fp = f"{os.path.abspath(input_path)}|{st.st_size}|{st.st_mtime_ns}"
     staging_ok = False
     if resume and os.path.exists(marker):
         with open(marker) as f:
             staging_rec = json.load(f)
         staging_ok = (
             staging_rec.get("num_partitions") == num_partitions
-            and staging_rec.get("input") == os.path.abspath(input_path)
+            and staging_rec.get("input_fp") == input_fp
         )
     if not staging_ok:
         # clear any partial/stale layout first: write_parquet appends, so
@@ -299,9 +304,7 @@ def run_partitioned(
             staging, partition_cols=["part"]
         )
         with open(marker + ".tmp", "w") as f:
-            json.dump(
-                {"num_partitions": num_partitions, "input": os.path.abspath(input_path)}, f
-            )
+            json.dump({"num_partitions": num_partitions, "input_fp": input_fp}, f)
         os.replace(marker + ".tmp", marker)
 
     def _part_dataset(part: int):
@@ -314,15 +317,27 @@ def run_partitioned(
         return rd.read_parquet(files, columns=["doc_id", "text"])
 
     results = {}
+    import shutil
+
     for part in range(num_partitions):
         lineage_path = os.path.join(lineage_dir, f"part={part}.json")
         if resume and os.path.exists(lineage_path):
             with open(lineage_path) as f:
                 rec = json.load(f)
-            if rec.get("status") == "complete":
+            # a completed partition is reusable only for THIS input —
+            # lineage from a different corpus must not be served
+            if rec.get("status") == "complete" and rec.get("input_fp") == input_fp:
                 results[part] = rec
                 continue
         t0 = time.perf_counter()
+        edges_path = os.path.join(out_dir, "edges", f"part={part}")
+        nodes_path = os.path.join(out_dir, "nodes", f"part={part}")
+        dl_path = os.path.join(out_dir, "dead_letter", f"part={part}")
+        # clear partial outputs from a crashed attempt: parquet writes
+        # append, so re-running into leftover files would duplicate rows
+        for p in (edges_path, nodes_path, dl_path):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
         part_ds = _part_dataset(part)
         docs = part_ds.map_batches(interleave_batch, batch_format="pyarrow")
         edges = edges_pipeline(docs, dicts, concurrency=ner_concurrency).materialize()
@@ -336,9 +351,7 @@ def run_partitioned(
         dl = dl.materialize()
         n_failed = dl.count()
         if n_failed:
-            dl.write_parquet(os.path.join(out_dir, "dead_letter", f"part={part}"))
-        edges_path = os.path.join(out_dir, "edges", f"part={part}")
-        nodes_path = os.path.join(out_dir, "nodes", f"part={part}")
+            dl.write_parquet(dl_path)
         from ..sinks import write_table_dir
 
         n_edges = edges.count()  # already materialized
@@ -350,7 +363,7 @@ def run_partitioned(
             "status": "complete",
             "partition": part,
             "num_partitions": num_partitions,
-            "input": f"{sf_dir}/documents.parquet",
+            "input_fp": input_fp,
             "n_edges": n_edges,
             "n_nodes": n_nodes,
             "n_failed_docs": n_failed,
