@@ -57,3 +57,33 @@ def test_combiner_bounds_hot_key():
     out = partial_edge_agg(batch)
     assert len(out) == 1
     assert out.column("n_docs").to_pylist() == [500]
+
+
+def test_resume_invalidated_by_input_change(ray_session, compiled_dicts, tmp_path):
+    """A regenerated input at the same path (new mtime/size) must NOT be
+    served from stale staging or stale partition lineage."""
+    import shutil
+
+    import kazu_ray.pipelines.kg as kg
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", sf / "documents.parquet")
+    out = str(tmp_path / "kg_out")
+    r1 = kg.run_partitioned(str(sf), out, compiled_dicts, num_partitions=2,
+                            ner_concurrency=1)
+    assert all(r["status"] == "complete" for r in r1.values())
+
+    # identical rerun: everything reused
+    r2 = kg.run_partitioned(str(sf), out, compiled_dicts, num_partitions=2,
+                            ner_concurrency=1)
+    assert r2 == r1
+
+    # 'regenerate' the corpus: same path, new mtime -> full recompute
+    os.utime(sf / "documents.parquet")
+    r3 = kg.run_partitioned(str(sf), out, compiled_dicts, num_partitions=2,
+                            ner_concurrency=1)
+    assert all(r["status"] == "complete" for r in r3.values())
+    assert all(r3[p]["input_fp"] != r1[p]["input_fp"] for p in r3)
+    # outputs not duplicated by the recompute (edge counts unchanged)
+    assert sum(r["n_edges"] for r in r3.values()) == sum(r["n_edges"] for r in r1.values())
