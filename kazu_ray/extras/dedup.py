@@ -23,6 +23,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..context import shuffle_partitions
+
 _WORD = re.compile(r"[A-Za-z0-9]+")
 
 # ---------------------------------------------------------------------------
@@ -49,7 +51,7 @@ def q_exact_dedup(sf_dir: str):
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp")
+        .groupby("fp", num_partitions=shuffle_partitions())
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
         .sort("doc_id")
@@ -209,7 +211,7 @@ def q_minhash_candidates(sf_dir: str):
     from ray.data.aggregate import Count
 
     return (
-        pairs.groupby(["doc_a", "doc_b"])
+        pairs.groupby(["doc_a", "doc_b"], num_partitions=shuffle_partitions())
         .aggregate(Count(alias_name="n_bands"))
         .sort(["doc_a", "doc_b"])
     )
@@ -428,7 +430,7 @@ def _embedding_neardup_cells(sf_dir: str, threshold: float, n_cells: int, replic
         .map_groups(pairs_in_cell, batch_format="pyarrow")
     )
     return (
-        pairs.groupby(["vec_a", "vec_b"])
+        pairs.groupby(["vec_a", "vec_b"], num_partitions=shuffle_partitions())
         .aggregate(Max("cosine", alias_name="cosine"))
         .sort(["vec_a", "vec_b"])
     )

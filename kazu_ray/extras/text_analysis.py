@@ -10,6 +10,8 @@ import hashlib
 import re
 
 import pyarrow as pa
+
+from ..context import shuffle_partitions
 import pyarrow.compute as pc
 
 _WORD = re.compile(r"[A-Za-z0-9]+")
@@ -125,7 +127,7 @@ def q_token_topk(sf_dir: str, k: int = 20):
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(token_partial_counts, batch_format="pyarrow")
-        .groupby("token")
+        .groupby("token", num_partitions=shuffle_partitions())
         .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
