@@ -31,4 +31,9 @@ def shuffle_partitions(minimum: int = 8) -> int:
     try:
         return max(minimum, int(ray.cluster_resources().get("CPU", minimum)))
     except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "shuffle_partitions: cluster resources unavailable; using %d", minimum
+        )
         return minimum

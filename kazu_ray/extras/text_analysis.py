@@ -10,9 +10,9 @@ import hashlib
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..context import shuffle_partitions
-import pyarrow.compute as pc
 
 _WORD = re.compile(r"[A-Za-z0-9]+")
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")

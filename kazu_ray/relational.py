@@ -97,14 +97,13 @@ def q_orders_topk(sf_dir: str):
         )
         return t.take(order.slice(0, 10))
 
-    import ray
+    from .context import shuffle_partitions
 
     # high-cardinality key: pin shuffle partitions to the CPU count —
     # Ray's default over-partitions this groupby (~40% slower measured)
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
     grouped = (
         ds.map_batches(add_rev, batch_format="pyarrow")
-        .groupby("l_orderkey", num_partitions=n_parts)
+        .groupby("l_orderkey", num_partitions=shuffle_partitions())
         .aggregate(Sum("rev", alias_name="revenue"))
         .map_batches(block_topk, batch_format="pyarrow")
     )

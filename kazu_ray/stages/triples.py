@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..context import shuffle_partitions
-
 from ..constants import PRED_CO_OCCURS, PRED_MAPS_TO, PRED_MENTIONS
 from ..schemas import EDGES_SCHEMA, TRIPLES_SCHEMA
 
@@ -127,9 +125,9 @@ def canonicalize_edges(triples_ds, pre_aggregated: bool = False):
     others = partial.map_batches(
         lambda t: t.filter(pc.not_equal(t["pred"], "mentions")), batch_format="pyarrow"
     )
-    others_agg = others.groupby(
-        ["subj", "pred", "obj"], num_partitions=shuffle_partitions()
-    ).aggregate(
+    # ontology-bounded key space: Ray's default partitioning is fine
+    # here (shuffle_partitions() is for corpus-cardinality keys)
+    others_agg = others.groupby(["subj", "pred", "obj"]).aggregate(
         Sum("n_docs", alias_name="n_docs"), Max("confidence", alias_name="confidence")
     )
 

@@ -59,31 +59,51 @@ def test_combiner_bounds_hot_key():
     assert out.column("n_docs").to_pylist() == [500]
 
 
+def _disk_edge_rows(out: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out, "edges", "part=*", "*.parquet"))
+    )
+
+
 def test_resume_invalidated_by_input_change(ray_session, compiled_dicts, tmp_path):
-    """A regenerated input at the same path (new mtime/size) must NOT be
-    served from stale staging or stale partition lineage."""
-    import shutil
+    """A regenerated input at the same path (different content) must NOT
+    be served from stale staging or stale partition lineage, and the
+    recompute must not append into leftover output files."""
+    import pyarrow.parquet as pq
 
     import kazu_ray.pipelines.kg as kg
 
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
     sf = tmp_path / "sf"
     sf.mkdir()
-    shutil.copy("/root/testdata/sf0.001/documents.parquet", sf / "documents.parquet")
+    pq.write_table(src, sf / "documents.parquet")
     out = str(tmp_path / "kg_out")
     r1 = kg.run_partitioned(str(sf), out, compiled_dicts, num_partitions=2,
                             ner_concurrency=1)
     assert all(r["status"] == "complete" for r in r1.values())
+    disk1 = _disk_edge_rows(out)
+    assert disk1 == sum(r["n_edges"] for r in r1.values())
 
-    # identical rerun: everything reused
+    # identical rerun: everything reused, nothing appended on disk
     r2 = kg.run_partitioned(str(sf), out, compiled_dicts, num_partitions=2,
                             ner_concurrency=1)
     assert r2 == r1
+    assert _disk_edge_rows(out) == disk1
 
-    # 'regenerate' the corpus: same path, new mtime -> full recompute
-    os.utime(sf / "documents.parquet")
+    # REGENERATE the corpus with different content (half the docs):
+    # outputs must reflect the new data, not stale staging/lineage
+    pq.write_table(src.slice(0, src.num_rows // 2), sf / "documents.parquet")
     r3 = kg.run_partitioned(str(sf), out, compiled_dicts, num_partitions=2,
                             ner_concurrency=1)
     assert all(r["status"] == "complete" for r in r3.values())
     assert all(r3[p]["input_fp"] != r1[p]["input_fp"] for p in r3)
-    # outputs not duplicated by the recompute (edge counts unchanged)
-    assert sum(r["n_edges"] for r in r3.values()) == sum(r["n_edges"] for r in r1.values())
+    disk3 = _disk_edge_rows(out)
+    # on-disk rows match the new run's lineage exactly (no append
+    # duplication into leftover files) and differ from the full corpus
+    assert disk3 == sum(r["n_edges"] for r in r3.values())
+    assert disk3 < disk1
