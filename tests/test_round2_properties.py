@@ -145,3 +145,76 @@ def test_hash_join_matches_pyarrow(ray_session, left_rows, right_rows, how):
         return sorted(tuple(sorted(r.items())) for r in rows)
 
     assert norm(got) == norm(expected.to_pylist())
+
+
+# --- kazu json round trip --------------------------------------------------
+
+_conf = st.sampled_from([100, 50, 10])
+_name = st.text(alphabet="abcXYZ :-_0123456789", min_size=0, max_size=15)
+
+
+@given(
+    st.lists(  # spans: (kind, text, media_ref)
+        st.one_of(
+            st.tuples(st.sampled_from(["text", "title"]), _name, st.just("")),
+            st.tuples(st.sampled_from(["image", "video"]), st.just(""), st.just("media://x/1")),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_kazu_json_dict_roundtrip(spans, data):
+    """row -> KAZU doc dict -> row preserves the span sequence and every
+    entity/mapping field the schema carries."""
+    from kazu_ray.sources.kazu_json import kazu_doc_dict_to_row, row_to_kazu_doc_dict
+
+    text_span_idxs = [i for i, s in enumerate(spans) if not s[2]]
+    entities = []
+    if text_span_idxs:
+        n_ents = data.draw(st.integers(0, 3))
+        for _ in range(n_ents):
+            si = data.draw(st.sampled_from(text_span_idxs))
+            match = data.draw(_name.filter(bool))
+            entities.append(
+                {
+                    "span_idx": si, "start": 0, "end": len(match), "match": match,
+                    "match_norm": match.upper(), "entity_class": "disease",
+                    "namespace": "t", "mention_confidence": data.draw(_conf),
+                    "candidates": [],
+                    "mappings": [
+                        {
+                            "parser_name": "P", "source": "S", "idx": "X:1",
+                            "default_label": "L",
+                            "string_match_strategy": "ExactMatchMappingStrategy",
+                            "string_match_confidence": "HIGHLY_LIKELY",
+                            "disambiguation_strategy": "", "disambiguation_confidence": "",
+                            "xref_source_parser_name": "",
+                        }
+                    ],
+                }
+            )
+    row = {
+        "doc_id": "doc-1",
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(spans)
+        ],
+        "entities": entities,
+    }
+    back = kazu_doc_dict_to_row(row_to_kazu_doc_dict(row))
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in back["spans"]] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in row["spans"]
+    ]
+    orig_ents = sorted(
+        (e["span_idx"], e["start"], e["end"], e["match"], e["mention_confidence"],
+         tuple(m["idx"] for m in e["mappings"]))
+        for e in entities
+    )
+    back_ents = sorted(
+        (e["span_idx"], e["start"], e["end"], e["match"], e["mention_confidence"],
+         tuple(m["idx"] for m in e["mappings"]))
+        for e in back["entities"]
+    )
+    assert back_ents == orig_ents
