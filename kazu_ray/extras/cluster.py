@@ -213,6 +213,15 @@ def connected_components(
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # loop exhausted without the label-sum fixpoint firing: labels
+        # may still be shrinking, so callers would get wrong components
+        # with no signal on adversarially deep graphs
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            "(graph deeper than max_rounds allows); raise max_rounds — "
+            "pointer jumping needs only O(log n) rounds"
+        )
     return labels.sort("doc_id")
 
 

@@ -23,7 +23,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..context import shuffle_partitions
+from ..context import input_bytes, shuffle_partitions
 
 _WORD = re.compile(r"[A-Za-z0-9]+")
 
@@ -51,7 +51,12 @@ def q_exact_dedup(sf_dir: str):
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp", num_partitions=shuffle_partitions())
+        .groupby(
+            "fp",
+            num_partitions=shuffle_partitions(
+                estimated_bytes=input_bytes(f"{sf_dir}/documents.parquet")
+            ),
+        )
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
         .sort("doc_id")
@@ -211,7 +216,12 @@ def q_minhash_candidates(sf_dir: str):
     from ray.data.aggregate import Count
 
     return (
-        pairs.groupby(["doc_a", "doc_b"], num_partitions=shuffle_partitions())
+        pairs.groupby(
+            ["doc_a", "doc_b"],
+            num_partitions=shuffle_partitions(
+                estimated_bytes=input_bytes(f"{sf_dir}/documents.parquet")
+            ),
+        )
         .aggregate(Count(alias_name="n_bands"))
         .sort(["doc_a", "doc_b"])
     )
@@ -430,7 +440,12 @@ def _embedding_neardup_cells(sf_dir: str, threshold: float, n_cells: int, replic
         .map_groups(pairs_in_cell, batch_format="pyarrow")
     )
     return (
-        pairs.groupby(["vec_a", "vec_b"], num_partitions=shuffle_partitions())
+        pairs.groupby(
+            ["vec_a", "vec_b"],
+            num_partitions=shuffle_partitions(
+                estimated_bytes=input_bytes(f"{sf_dir}/embeddings.parquet")
+            ),
+        )
         .aggregate(Max("cosine", alias_name="cosine"))
         .sort(["vec_a", "vec_b"])
     )

@@ -71,6 +71,34 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """A header-valid JPEG (SOI + APP0/JFIF + SOF0 + seeded scan stub +
+    EOI).  The SOF0 frame header is genuine, so dimension parsing is
+    exercised for real; only entropy-coded data is filler."""
+    rng = np.random.default_rng(seed)
+    app0_body = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0_body = b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0_body) + 2) + app0_body
+        + b"\xff\xc0" + struct.pack(">H", len(sof0_body) + 2) + sof0_body
+        + b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+        + bytes(b & 0xFE for b in rng.bytes(width * height // 8 + 1))
+        + b"\xff\xd9"
+    )
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """A minimal valid GIF89a (logical screen descriptor + 2-entry global
+    palette + image descriptor + LZW-stub data + trailer)."""
+    rng = np.random.default_rng(seed)
+    screen = struct.pack("<HH", width, height) + b"\x80\x00\x00"
+    palette = bytes(rng.bytes(6))
+    img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    data = b"\x02\x02\x4c\x01\x00"  # min LZW code size 2, one tiny block
+    return b"GIF89a" + screen + palette + img_desc + data + b"\x3b"
+
+
 def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) from real container headers — PNG IHDR,
     JPEG SOF0/1/2 markers, GIF logical screen descriptor.  Pure stdlib;
@@ -116,8 +144,10 @@ FRAME_BYTES = 64  # fixed synthetic frame size for the video layout
 
 class FakeDecoder:
     """Deterministic media fetch stand-in keyed by (media_ref, kind):
-    image refs yield VALID PNG bytes (seeded dims 16-128), video refs a
-    fixed-frame-size byte stream, everything else seeded raw bytes."""
+    image refs yield container-valid image bytes rotating over
+    PNG / JPEG / GIF by ref hash (so all three real header-parse
+    branches are exercised end-to-end, seeded dims 16-128), video refs
+    a fixed-frame-size byte stream, everything else seeded raw bytes."""
 
     def decode(self, media_ref: str, kind: str = "blob") -> bytes:
         seed = int.from_bytes(
@@ -127,7 +157,8 @@ class FakeDecoder:
         if kind == "image":
             w = 16 + int(rng.integers(0, 113))
             h = 16 + int(rng.integers(0, 113))
-            return make_png(w, h, seed=seed)
+            maker = (make_png, make_jpeg, make_gif)[seed % 3]
+            return maker(w, h, seed=seed)
         if kind == "video":
             n_frames = 8 + int(rng.integers(0, 25))
             return rng.bytes(FRAME_BYTES * n_frames)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -228,9 +229,19 @@ def q_ivf_topk(
         # the current one
         prefix = f"kazu_ray_ivf_{path_tag}_"
         staging_dir = os.path.join(tempfile.gettempdir(), prefix + fingerprint)
+        # reap only STALE sibling generations (untouched > 1h): a
+        # concurrent process may still be reading or building a prior
+        # generation of the same input, and deleting it mid-query would
+        # fail its reads or silently drop probed partitions
+        reap_before = time.time() - 3600
         for old in os.listdir(tempfile.gettempdir()):
             if old.startswith(prefix) and old != prefix + fingerprint:
-                shutil.rmtree(os.path.join(tempfile.gettempdir(), old), ignore_errors=True)
+                old_path = os.path.join(tempfile.gettempdir(), old)
+                try:
+                    if os.path.getmtime(old_path) < reap_before:
+                        shutil.rmtree(old_path, ignore_errors=True)
+                except OSError:
+                    pass
     # staging is resumable: reuse only when the completed-build marker
     # matches this exact input fingerprint; otherwise rebuild from clean
     # (write_parquet appends — a partial build must not be appended to)

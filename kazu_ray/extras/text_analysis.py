@@ -12,7 +12,7 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..context import shuffle_partitions
+from ..context import input_bytes, shuffle_partitions
 
 _WORD = re.compile(r"[A-Za-z0-9]+")
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
@@ -127,7 +127,12 @@ def q_token_topk(sf_dir: str, k: int = 20):
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(token_partial_counts, batch_format="pyarrow")
-        .groupby("token", num_partitions=shuffle_partitions())
+        .groupby(
+            "token",
+            num_partitions=shuffle_partitions(
+                estimated_bytes=input_bytes(f"{sf_dir}/documents.parquet")
+            ),
+        )
         .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "token"], descending=[True, False])
         .limit(k)

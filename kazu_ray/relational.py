@@ -97,13 +97,19 @@ def q_orders_topk(sf_dir: str):
         )
         return t.take(order.slice(0, 10))
 
-    from .context import shuffle_partitions
+    from .context import input_bytes, shuffle_partitions
 
     # high-cardinality key: pin shuffle partitions to the CPU count —
-    # Ray's default over-partitions this groupby (~40% slower measured)
+    # Ray's default over-partitions this groupby (~40% slower measured) —
+    # but scale past the pin with input size so one partition stays heap-safe
     grouped = (
         ds.map_batches(add_rev, batch_format="pyarrow")
-        .groupby("l_orderkey", num_partitions=shuffle_partitions())
+        .groupby(
+            "l_orderkey",
+            num_partitions=shuffle_partitions(
+                estimated_bytes=input_bytes(f"{sf_dir}/lineitem.parquet")
+            ),
+        )
         .aggregate(Sum("rev", alias_name="revenue"))
         .map_batches(block_topk, batch_format="pyarrow")
     )
@@ -273,14 +279,13 @@ def q_supplier_nation_balance(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    nation_keys = nation["n_nationkey"].combine_chunks()
+    nation_names = nation["n_name"].combine_chunks()
 
     ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
 
     def attach(t: pa.Table) -> pa.Table:
-        names = pa.array(
-            [nmap.get(int(k)) for k in t["s_nationkey"].to_pylist()], type=pa.string()
-        )
+        names = nation_names.take(pc.index_in(t["s_nationkey"], nation_keys))
         return pa.Table.from_arrays([names, t["s_acctbal"]], names=["n_name", "s_acctbal"])
 
     out = (

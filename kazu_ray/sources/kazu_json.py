@@ -98,36 +98,45 @@ def kazu_doc_dict_to_row(doc: dict) -> dict:
             {"kind": meta.get("kind", "text"), "text": sec.get("text", ""), "media_ref": "", "offset": i}
         )
         for e in sec.get("entities", []):
-            sp0 = (e.get("spans") or [{"start": e.get("start", 0), "end": e.get("end", 0)}])[0]
-            entities.append(
-                {
-                    "span_idx": i,
-                    "start": sp0["start"],
-                    "end": sp0["end"],
-                    "match": e["match"],
-                    "match_norm": e.get("match_norm", ""),
-                    "entity_class": e["entity_class"],
-                    "namespace": e.get("namespace", ""),
-                    "mention_confidence": _CONF_VALUE.get(
-                        e.get("mention_confidence", "PROBABLE"), 50
-                    ),
-                    "candidates": [],
-                    "mappings": [
-                        {
-                            "parser_name": m.get("parser_name", ""),
-                            "source": m.get("source", ""),
-                            "idx": m.get("idx", ""),
-                            "default_label": m.get("default_label", ""),
-                            "string_match_strategy": m.get("string_match_strategy", ""),
-                            "string_match_confidence": m.get("string_match_confidence", ""),
-                            "disambiguation_strategy": m.get("disambiguation_strategy", ""),
-                            "disambiguation_confidence": m.get("disambiguation_confidence", ""),
-                            "xref_source_parser_name": m.get("xref_source_parser_name", ""),
-                        }
-                        for m in e.get("mappings", [])
-                    ],
-                }
-            )
+            # a reference Entity may carry MULTIPLE spans (non-contiguous
+            # mention, data.py Entity.spans); our row shape is one
+            # contiguous (start, end) per entity row, so each span
+            # becomes its own row with equal match/class/mappings —
+            # mirroring how NonContiguousEntitySplitter emits pieces.
+            # Span coverage is lossless; only the grouping is flattened.
+            e_spans = e.get("spans") or [
+                {"start": e.get("start", 0), "end": e.get("end", 0)}
+            ]
+            for sp0 in e_spans:
+                entities.append(
+                    {
+                        "span_idx": i,
+                        "start": sp0["start"],
+                        "end": sp0["end"],
+                        "match": e["match"],
+                        "match_norm": e.get("match_norm", ""),
+                        "entity_class": e["entity_class"],
+                        "namespace": e.get("namespace", ""),
+                        "mention_confidence": _CONF_VALUE.get(
+                            e.get("mention_confidence", "PROBABLE"), 50
+                        ),
+                        "candidates": [],
+                        "mappings": [
+                            {
+                                "parser_name": m.get("parser_name", ""),
+                                "source": m.get("source", ""),
+                                "idx": m.get("idx", ""),
+                                "default_label": m.get("default_label", ""),
+                                "string_match_strategy": m.get("string_match_strategy", ""),
+                                "string_match_confidence": m.get("string_match_confidence", ""),
+                                "disambiguation_strategy": m.get("disambiguation_strategy", ""),
+                                "disambiguation_confidence": m.get("disambiguation_confidence", ""),
+                                "xref_source_parser_name": m.get("xref_source_parser_name", ""),
+                            }
+                            for m in e.get("mappings", [])
+                        ],
+                    }
+                )
     doc_id = doc.get("idx", "")
     return {"doc_id": doc_id, "spans": spans, "entities": entities}
 
@@ -135,7 +144,14 @@ def kazu_doc_dict_to_row(doc: dict) -> dict:
 def write_kazu_jsonl(annotated_ds, out_dir: str):
     """Streaming sink: one JSONL shard per batch, written worker-side.
     Returns the manifest Dataset (path, n_docs per shard); consume it to
-    drive the write."""
+    drive the write.
+
+    ``out_dir`` MUST be on storage shared by every worker node (NFS,
+    fuse-mounted object store, ...) — the shards are opened inside
+    ``map_batches`` workers, exactly like ``Dataset.write_parquet``'s
+    local-path semantics, so on a multi-node cluster a node-local path
+    scatters shards across machines and the manifest paths are
+    unreadable from the driver."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_shard(t: pa.Table) -> pa.Table:

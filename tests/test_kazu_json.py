@@ -64,3 +64,36 @@ def test_jsonl_round_trip(ray_session, compiled_dicts, tmp_path):
     orig = key(annotated.take_all())
     back = key(read_kazu_jsonl(out).take_all())
     assert orig == back
+
+
+def test_multispan_entity_expands_per_span():
+    """A reference entity carrying multiple (non-contiguous) spans becomes
+    one entity row PER span with equal match/class/mappings — span
+    coverage is lossless, only the grouping is flattened."""
+    from kazu_ray.sources.kazu_json import kazu_doc_dict_to_row
+
+    doc = {
+        "idx": "d1",
+        "sections": [
+            {
+                "text": "alpha and gamma secretase",
+                "metadata": {"kind": "text"},
+                "entities": [
+                    {
+                        "match": "alpha secretase",
+                        "entity_class": "gene",
+                        "spans": [{"start": 0, "end": 5}, {"start": 16, "end": 25}],
+                        "namespace": "TestStep",
+                        "mention_confidence": "PROBABLE",
+                        "mappings": [{"idx": "X:1", "source": "X"}],
+                    }
+                ],
+            }
+        ],
+    }
+    row = kazu_doc_dict_to_row(doc)
+    assert [(e["start"], e["end"]) for e in row["entities"]] == [(0, 5), (16, 25)]
+    for e in row["entities"]:
+        assert e["match"] == "alpha secretase"
+        assert e["entity_class"] == "gene"
+        assert e["mappings"][0]["idx"] == "X:1"

@@ -39,7 +39,13 @@ def test_fake_decoder_kinds():
     d = FakeDecoder()
     img = d.decode("media://1/2", "image")
     fmt, w, h = parse_image_header(img)
-    assert fmt == "png" and 16 <= w <= 128 and 16 <= h <= 128
+    assert fmt in ("png", "jpeg", "gif") and 16 <= w <= 128 and 16 <= h <= 128
+    # all three container formats are emitted across refs, so the
+    # JPEG SOF / GIF descriptor branches run in the query path too
+    fmts = {
+        parse_image_header(d.decode(f"media://{i}/x", "image"))[0] for i in range(24)
+    }
+    assert fmts == {"png", "jpeg", "gif"}
     vid = d.decode("media://1/3", "video")
     assert len(vid) % FRAME_BYTES == 0 and len(vid) >= 8 * FRAME_BYTES
     # determinism
@@ -51,8 +57,11 @@ def test_media_metadata_query(ray_session):
 
     rows = q_media_metadata("/root/testdata/sf0.001").take_all()
     by_kind = {(r["kind"], r["format"]): r for r in rows}
-    img = by_kind[("image", "png")]
-    assert img["n_media"] > 0 and 16 <= img["avg_width"] <= 128
+    img_formats = {k[1] for k in by_kind if k[0] == "image"}
+    assert img_formats == {"png", "jpeg", "gif"}
+    for fmt in img_formats:
+        img = by_kind[("image", fmt)]
+        assert img["n_media"] > 0 and 16 <= img["avg_width"] <= 128
     # non-image kinds parse to no format
     assert all(k[1] == "" for k in by_kind if k[0] != "image")
 
