@@ -110,11 +110,50 @@ def sessionize_events(ds, bucket_us: int | None = None):
     )
 
 
-def q_events_sessions(sf_dir: str, bucket_us: int | None = None):
-    """Sessionization query over events.parquet (see sessionize_events)."""
+# below this input size the one-group-per-user simple path wins (no
+# second shuffle); above it a whale user's history could overwhelm one
+# worker, so the bucketed two-phase path becomes the default — same
+# small-input fast-path pattern as connected_components' driver_threshold
+SIMPLE_PATH_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _auto_bucket_us(path: str) -> int:
+    """Derive a whale-safe bucket width from the data's time range using
+    parquet row-group stats only (no data read): ~1024 buckets across
+    the corpus time range, never narrower than the session gap (a
+    narrower bucket only adds merge work, it can't split a session)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo, hi = None, None
+    ts_idx = md.schema.to_arrow_schema().get_field_index("ts")
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ts_idx).statistics
+        if st is None or not st.has_min_max:
+            return SESSION_GAP_US * 8  # stats unavailable: safe fixed width
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    span = hi - lo
+    if hasattr(span, "total_seconds"):  # timestamp stats come back as datetimes
+        span = int(span.total_seconds() * 1_000_000)
+    return max(SESSION_GAP_US, int(span) // 1024 or SESSION_GAP_US)
+
+
+def q_events_sessions(sf_dir: str, bucket_us: int | None | str = "auto"):
+    """Sessionization query over events.parquet (see sessionize_events).
+
+    Default ``bucket_us="auto"``: small inputs take the simple
+    one-group-per-user path; past SIMPLE_PATH_MAX_BYTES the bucket width
+    is derived from the parquet ts stats and the whale-safe two-phase
+    path (proven oracle-identical) becomes the default."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    from ..context import input_bytes
+
+    path = f"{sf_dir}/events.parquet"
+    if bucket_us == "auto":
+        bucket_us = None if input_bytes(path) <= SIMPLE_PATH_MAX_BYTES else _auto_bucket_us(path)
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "value"])
     return sessionize_events(ds, bucket_us=bucket_us)
 
 

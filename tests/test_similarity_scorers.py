@@ -135,3 +135,40 @@ def test_merge_candidates_metric_merge():
     assert out[("P", "T")]["search_score"] == 100.0
     assert out[("P", "T")]["exact_match"] is True
     assert out[("P", "U")]["search_score"] == 77.0
+
+
+def test_tfidf_frozen_score_vectors():
+    """Pin the hashed-trigram TF-IDF score distribution that justifies
+    MIN_SCORE=75 (linking.py) vs the reference's 80: inflected variants
+    of vocab terms land in [MIN_SCORE, 100), unrelated strings below
+    MIN_SCORE.  The exact frozen values keep the index from drifting
+    silently (hash fn, idf formula, normalization are all covered)."""
+    from kazu_ray.stages.linking import MIN_SCORE
+    from kazu_ray.state.tfidf import TfIdfIndex
+
+    vocab = sorted(
+        {"melanoma", "asthma", "aspirin", "diabetes", "leukemia",
+         "carcinoma", "sarcomas", "fibrosis", "erlotinib", "gefitinib"}
+    )
+    idx = TfIdfIndex(vocab)
+    frozen = {
+        "melanomas": ("melanoma", 83.481),
+        "asthmatic": ("asthma", 94.613),
+        "aspirins": ("aspirin", 92.263),
+        "diabete": ("diabetes", 86.603),
+        "leukemias": ("leukemia", 90.051),
+        "carcinomas": ("carcinoma", 84.588),
+        "fibrosi": ("fibrosis", 86.603),
+    }
+    for q, (want_term, want_score) in frozen.items():
+        (term, score), *_ = idx.query(q, 3)
+        assert term == want_term, q
+        assert abs(score - want_score) < 0.01, (q, score)
+        assert MIN_SCORE <= score < 100.0
+    # second-best hits are well below the threshold (the gate separates)
+    for q in ("melanomas", "carcinomas"):
+        rest = idx.query(q, 3)[1:]
+        assert all(s < MIN_SCORE for _t, s in rest)
+    assert idx.query("random junk", 3) == []
+    # exact match short-circuits at exactly 100
+    assert idx.query("melanoma", 3) == [("melanoma", 100.0)]

@@ -75,3 +75,18 @@ def test_whale_user_bucketed(ray_session):
     out = _rows(sessionize_events(ds, bucket_us=50 * SESSION_GAP_US))
     assert len(out) == 1
     assert out[0][0] == 42 and out[0][2] == n
+
+
+def test_auto_bucket_default(ray_session, monkeypatch):
+    """Default bucket_us='auto': the stats-derived bucket width is sane
+    and the auto-forced bucketed path equals the simple path exactly."""
+    import kazu_ray.extras.windows as W
+
+    sf = "/root/testdata/sf0.001"
+    b = W._auto_bucket_us(f"{sf}/events.parquet")
+    assert b >= W.SESSION_GAP_US
+    simple = W.q_events_sessions(sf, bucket_us=None).take_all()
+    # force the large-input branch so 'auto' routes through bucketing
+    monkeypatch.setattr(W, "SIMPLE_PATH_MAX_BYTES", 0)
+    auto = W.q_events_sessions(sf).take_all()
+    assert auto == simple
