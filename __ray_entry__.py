@@ -113,6 +113,16 @@ def _ner_entities(sf_dir: str):
     )
 
 
+def _transformer_eval(sf_dir: str):
+    """P/R of the REAL-checkpoint transformer pipeline (numpy-BERT tiny
+    checkpoint + TfIdfLinker + cascade) vs the frozen static golden
+    fixture.  Fixture-based by design (the golden CSVs pin exact spans
+    and groundings), so sf_dir is unused."""
+    from kazu_ray.sources.transformer_golden import evaluate_transformer_golden
+
+    return evaluate_transformer_golden(_dicts())
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: canonical KG edges."""
     return _kg_edges("/root/testdata/sf0.001").to_pandas()
@@ -130,6 +140,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.windows import q_asof_join, q_events_sessions
     from kazu_ray.extras.multimodal import q_media_features, q_media_metadata, q_video_frames
     from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk
+    from kazu_ray.extras.metrics import (
+        q_ivf_recall,
+        q_minhash_recall,
+        q_neardup_cc_equivalence,
+        q_sessions_equivalence,
+    )
     from kazu_ray.extras.text_analysis import (
         q_doc_fingerprint,
         q_doc_token_stats,
@@ -191,6 +207,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_metadata": q_media_metadata,  # real header parse over synthetic PNGs
         "video_frames": q_video_frames,
+        # --- quality-metric queries: the recall/equivalence gates behind
+        # the approximate operators, recorded per round (rows-only by
+        # nature; the VALUES in CORRECTNESS are the point)
+        "transformer_eval": _transformer_eval,
+        "minhash_recall": q_minhash_recall,
+        "ivf_recall": q_ivf_recall,
+        "sessions_equivalence": q_sessions_equivalence,
+        "neardup_cc_equivalence": q_neardup_cc_equivalence,
     }
 
 

@@ -1,0 +1,142 @@
+"""Queryable quality-metric datasets.
+
+Round-2 verdict item #10: the recall / equivalence gates that justify
+the approximate operators (MinHash-LSH, IVF ANN, bucketed
+sessionization, distributed connected components) lived only in pytest,
+so the driver's CORRECTNESS file showed bare `no_oracle` rows for those
+queries.  Each function here re-runs the gate as a one-row DataFrame so
+the measured recall/equality value is recorded per round alongside the
+oracle checks.
+
+These are verification queries, not production operators: each bounds
+its exact-comparison side (sampled subsets) so the check itself stays
+cheap at any corpus size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def q_minhash_recall(sf_dir: str, id_bound: int = 200) -> pd.DataFrame:
+    """Recall of the LSH candidate pairs vs exact shingle-set Jaccard
+    (>= 0.8) over the bounded doc_id < ``id_bound`` subset.  16 bands x
+    4 rows at J=0.8 has per-pair miss probability ~0.1%."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    from .dedup import _shingles, q_minhash_candidates
+
+    tbl = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id") < id_bound)
+    )
+    subset = [
+        (i, set(_shingles(t).tolist()))
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    ]
+    exact = set()
+    for x in range(len(subset)):
+        a_id, a_set = subset[x]
+        for y in range(x + 1, len(subset)):
+            b_id, b_set = subset[y]
+            union = len(a_set | b_set)
+            if union and len(a_set & b_set) / union >= 0.8:
+                exact.add((min(a_id, b_id), max(a_id, b_id)))
+    lsh = {(r["doc_a"], r["doc_b"]) for r in q_minhash_candidates(sf_dir).take_all()}
+    tp = len(exact & lsh)
+    return pd.DataFrame(
+        {
+            "recall": [round(tp / max(1, len(exact)), 6)],
+            "n_exact_pairs": [len(exact)],
+            "n_lsh_pairs": [len(lsh)],
+            "gate": [0.95],
+            "passes": [bool(len(exact) and tp / len(exact) >= 0.95)],
+        }
+    )
+
+
+def q_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall of the IVF-partitioned ANN path vs exact brute-force
+    cosine top-k on the same embeddings, plus exactness of the returned
+    cosines on recovered pairs."""
+    import tempfile
+
+    from .similarity import q_ann_topk, q_ivf_topk
+
+    exact_rows = q_ann_topk(sf_dir).take_all()
+    with tempfile.TemporaryDirectory(prefix="ivf_metric_") as staging:
+        ivf_rows = q_ivf_topk(sf_dir, n_probe=5, staging_dir=staging).take_all()
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_rows}
+    got = {(r["query_id"], r["vec_id"]) for r in ivf_rows}
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact_rows}
+    max_err = 0.0
+    for r in ivf_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            max_err = max(max_err, abs(r["cosine"] - exact_scores[key]))
+    tp = len(exact & got)
+    return pd.DataFrame(
+        {
+            "recall": [round(tp / max(1, len(exact)), 6)],
+            "n_exact": [len(exact)],
+            "n_ivf": [len(got)],
+            "max_cosine_err": [max_err],
+            "gate": [0.9],
+            "passes": [bool(len(exact) and tp / len(exact) >= 0.9 and max_err < 1e-9)],
+        }
+    )
+
+
+def q_sessions_equivalence(sf_dir: str) -> pd.DataFrame:
+    """Exact row-set equality of whale-safe bucketed sessionization vs
+    the simple per-user-group path on the full events table."""
+    from .windows import q_events_sessions
+
+    simple = q_events_sessions(sf_dir, bucket_us=None).to_pandas()
+    bucketed = q_events_sessions(sf_dir, bucket_us=6 * 3600 * 1_000_000).to_pandas()
+    cols = sorted(simple.columns)
+    a = simple[cols].sort_values(cols).reset_index(drop=True)
+    b = bucketed[cols].sort_values(cols).reset_index(drop=True)
+    equal = a.equals(b)
+    return pd.DataFrame(
+        {
+            "paths_equal": [bool(equal)],
+            "n_sessions_simple": [len(a)],
+            "n_sessions_bucketed": [len(b)],
+        }
+    )
+
+
+def q_neardup_cc_equivalence(sf_dir: str) -> pd.DataFrame:
+    """Component-partition equality of the dataset-native label-prop
+    connected-components path vs the bounded driver union-find path on
+    the same LSH candidate pairs (same partition of doc ids, label
+    values normalized to each component's min member)."""
+    from .cluster import connected_components
+    from .dedup import q_minhash_candidates
+
+    pairs = q_minhash_candidates(sf_dir).materialize()
+    driver = {
+        r["doc_id"]: r["component"] for r in connected_components(pairs).take_all()
+    }
+    distributed = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).take_all()
+    }
+
+    def canon(labels: dict) -> set:
+        groups: dict = {}
+        for doc, comp in labels.items():
+            groups.setdefault(comp, []).append(doc)
+        return {tuple(sorted(v)) for v in groups.values()}
+
+    equal = canon(driver) == canon(distributed)
+    return pd.DataFrame(
+        {
+            "paths_equal": [bool(equal)],
+            "n_docs": [len(driver)],
+            "n_components_driver": [len(set(driver.values()))],
+            "n_components_distributed": [len(set(distributed.values()))],
+        }
+    )

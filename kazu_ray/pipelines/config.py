@@ -30,6 +30,10 @@ class PipelineConfig:
     actor_num_cpus: float = 1.0
     skip_doc_len: int = 200_000
     xrefs: bool = False
+    # "mock" = gazetteer stand-in; a directory path = real checkpoint
+    # (HF layout, loaded torch-lessly via state/numpy_bert.py).  The
+    # repo ships one: kazu_ray.assets.TINY_BERT_NER.
+    transformer_tagger: str = "mock"
 
     @classmethod
     def from_group(cls, group: str, **overrides) -> "PipelineConfig":
@@ -72,7 +76,11 @@ def build(docs_ds, dicts, config: PipelineConfig):
         elif step == "transformer_ner":
             from ..stages.transformer_ner import TransformerNer
 
-            ds = ds.map_batches(TransformerNer, **common)
+            ds = ds.map_batches(
+                TransformerNer,
+                fn_constructor_args=(config.transformer_tagger,),
+                **common,
+            )
         elif step == "linking":
             from ..constants import NS_DICT_NER
             from ..stages.linking import TfIdfLinker

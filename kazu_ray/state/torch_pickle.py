@@ -89,3 +89,92 @@ def load_state_dict(path: str) -> dict[str, np.ndarray]:
         with zf.open(pkl_names[0]) as f:
             state = _TorchUnpickler(f, zf, root).load()
     return dict(state)
+
+
+# ---------------------------------------------------------------------------
+# torch-less WRITER for the same zip format — used to produce the repo's
+# tiny checked-in token-classification checkpoint.  The output is a
+# standard ``pytorch_model.bin``: real ``torch.load`` reads it on a
+# cluster, and :func:`load_state_dict` reads it here.
+# ---------------------------------------------------------------------------
+
+
+def _stub_modules():
+    """Fake ``torch``/``torch._utils`` modules so stock pickle emits the
+    canonical GLOBAL references without torch installed.  No-op when a
+    real torch is importable (its own symbols already satisfy pickle)."""
+    import sys
+    import types
+
+    if "torch" in sys.modules:
+        return
+    t = types.ModuleType("torch")
+    tu = types.ModuleType("torch._utils")
+
+    def _rebuild(*args):  # never called at save time
+        raise RuntimeError("stub")
+
+    _rebuild.__module__ = "torch._utils"
+    _rebuild.__qualname__ = "_rebuild_tensor_v2"
+    _rebuild.__name__ = "_rebuild_tensor_v2"
+    tu._rebuild_tensor_v2 = _rebuild
+    storage = type("FloatStorage", (), {"__module__": "torch"})
+    t.FloatStorage = storage
+    t._utils = tu
+    sys.modules["torch"] = t
+    sys.modules["torch._utils"] = tu
+
+
+class _StorageToSave:
+    def __init__(self, key: str, numel: int):
+        self.key = key
+        self.numel = numel
+
+
+class _TensorToSave:
+    def __init__(self, storage: _StorageToSave, shape: tuple[int, ...]):
+        self.storage = storage
+        self.shape = shape
+
+    def __reduce__(self):
+        import sys
+
+        rebuild = sys.modules["torch._utils"]._rebuild_tensor_v2
+        stride = []
+        acc = 1
+        for dim in reversed(self.shape):
+            stride.append(acc)
+            acc *= dim
+        stride.reverse()
+        return (
+            rebuild,
+            (self.storage, 0, tuple(self.shape), tuple(stride), False, OrderedDict()),
+        )
+
+
+class _SavePickler(pickle.Pickler):
+    def persistent_id(self, obj):
+        if isinstance(obj, _StorageToSave):
+            import sys
+
+            return ("storage", sys.modules["torch"].FloatStorage, obj.key, "cpu", obj.numel)
+        return None
+
+
+def save_state_dict(state: dict[str, np.ndarray], path: str) -> None:
+    """Write {param_name: float ndarray} as a pytorch zip checkpoint."""
+    import io
+
+    _stub_modules()
+    arrays = {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in state.items()}
+    od = OrderedDict(
+        (k, _TensorToSave(_StorageToSave(str(i), a.size), a.shape))
+        for i, (k, a) in enumerate(arrays.items())
+    )
+    buf = io.BytesIO()
+    _SavePickler(buf, protocol=2).dump(od)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/version", "3\n")
+        for i, a in enumerate(arrays.values()):
+            zf.writestr(f"archive/data/{i}", a.tobytes())

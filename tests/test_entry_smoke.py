@@ -22,9 +22,13 @@ def test_non_oracle_queries_run(ray_session, name):
         res = res.to_pandas()
     df = pd.DataFrame(res)
     assert len(df.columns) > 0
-    if name == "kg_eval":
+    if name in ("kg_eval", "transformer_eval"):
         assert df["precision"].iloc[0] >= 0.95
         assert df["recall"].iloc[0] >= 0.95
+    elif name in ("minhash_recall", "ivf_recall"):
+        assert bool(df["passes"].iloc[0])
+    elif name in ("sessions_equivalence", "neardup_cc_equivalence"):
+        assert bool(df["paths_equal"].iloc[0])
     elif name in ("kg_edges", "kg_nodes", "ner_entities", "media_features", "simhash"):
         assert len(df) > 0
 
