@@ -141,35 +141,95 @@ def _shingles(text: str, n: int = 3) -> np.ndarray:
 
 
 def minhash_signature(text: str) -> np.ndarray:
+    """Scalar reference spec for one doc's signature; the batch path
+    (minhash_signatures_batch) is property-tested equal to this."""
     sh = _shingles(text)
     # (a*x + b) mod p for all perms at once: (n_sh, n_perm)
     vals = (sh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
     return vals.min(axis=0)
 
 
+def minhash_signatures_batch(texts: list[str]) -> np.ndarray:
+    """(n_docs, N_PERM) signatures, vectorized: polars does the
+    lowercase/word-extract/3-gram construction for the whole batch, one
+    C-level crc32 call per gram (no python joins), a single batched
+    permutation product, and np.minimum.reduceat over doc boundaries.
+
+    Duplicate shingles are NOT deduped (unlike _shingles) — min over a
+    multiset equals min over its set, so signatures are identical."""
+    import polars as pl
+
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, N_PERM), dtype=np.int64)
+    df = pl.DataFrame({"row": np.arange(n, dtype=np.int64), "text": texts})
+    df = df.with_columns(
+        pl.col("text").str.to_lowercase().str.extract_all(r"[A-Za-z0-9]+").alias("w")
+    ).with_columns(pl.col("w").list.len().cast(pl.Int64).alias("nw"))
+    frames = []
+    long_docs = df.filter(pl.col("nw") >= 3)
+    if long_docs.height:
+        ex = long_docs.select(
+            "row", "nw", "w", pl.int_ranges(0, pl.col("nw")).alias("pos")
+        ).explode(["w", "pos"])
+        # global shift is safe: cross-doc grams fail pos <= nw-3
+        ex = ex.with_columns(
+            (pl.col("w") + " " + pl.col("w").shift(-1) + " " + pl.col("w").shift(-2)).alias(
+                "gram"
+            )
+        ).filter(pl.col("pos") <= pl.col("nw") - 3)
+        frames.append(ex.select("row", "gram"))
+    short_docs = df.filter(pl.col("nw") < 3)
+    if short_docs.height:
+        frames.append(
+            short_docs.select("row", pl.col("w").list.join(" ").alias("gram"))
+        )
+    grams = pl.concat(frames).sort("row", maintain_order=True)
+    rows = grams["row"].to_numpy()
+    crc = np.fromiter(
+        (zlib.crc32(g.encode()) for g in grams["gram"].to_list()),
+        dtype=np.int64,
+        count=grams.height,
+    )
+    vals = (crc[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    boundaries = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    return np.minimum.reduceat(vals, boundaries, axis=0)
+
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, N_BANDS) uint64 bucket keys: splitmix64-mixed fold of
+    each band's _ROWS_PER_BAND signature values.  Equal chunks hash
+    equal (the LSH requirement); 64-bit mixing makes cross-chunk
+    collisions negligible, so candidate PAIRS match the reference
+    per-chunk cryptographic-hash formulation."""
+    chunks = sigs.reshape(sigs.shape[0], N_BANDS, _ROWS_PER_BAND).astype(np.uint64)
+    h = np.full((sigs.shape[0], N_BANDS), np.uint64(0x9E3779B97F4A7C15))
+    for r in range(_ROWS_PER_BAND):
+        x = chunks[:, :, r]
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        h = (h ^ x) * np.uint64(0x100000001B3)
+    return h
+
+
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """doc -> N_BANDS rows of (band_id, band_hash, doc_id): the explode
-    step before the LSH groupby shuffle."""
-    doc_ids, band_ids, band_hashes, band_parts = [], [], [], []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        sig = minhash_signature(text)
-        for b in range(N_BANDS):
-            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            doc_ids.append(doc_id)
-            band_ids.append(b)
-            band_hashes.append(digest.hex())
-            # coarse shuffle partition: band salted by 2 hash bits, so the
-            # groupby has ~4*N_BANDS groups, each holding many buckets
-            band_parts.append(b * 4 + (digest[0] & 3))
+    step before the LSH groupby shuffle.  Fully vectorized."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = minhash_signatures_batch(batch.column("text").to_pylist())
+    n = len(doc_ids)
+    bh = _band_hashes(sigs)  # (n, N_BANDS)
+    band_ids = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+    # coarse shuffle partition: band salted by 2 hash bits, so the
+    # groupby has ~4*N_BANDS groups, each holding many buckets
+    band_parts = band_ids * 4 + (bh.reshape(-1) & np.uint64(3)).astype(np.int32)
     return pa.Table.from_pydict(
         {
             "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.string()),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64), type=pa.int64()),
             "band_part": pa.array(band_parts, type=pa.int32()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, N_BANDS), type=pa.int64()),
         }
     )
 

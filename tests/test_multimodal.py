@@ -22,6 +22,20 @@ def test_make_png_is_valid_and_parsed():
     assert zlib.crc32(body) & 0xFFFFFFFF == stored_crc
 
 
+def test_make_jpeg_and_gif_round_trip():
+    from kazu_ray.extras.multimodal import make_gif, make_jpeg
+
+    assert parse_image_header(make_jpeg(64, 48, seed=3)) == ("jpeg", 64, 48)
+    assert parse_image_header(make_gif(33, 17, seed=4)) == ("gif", 33, 17)
+    # determinism: same seed -> same bytes (resumable synthetic corpus)
+    assert make_jpeg(64, 48, seed=3) == make_jpeg(64, 48, seed=3)
+    assert make_gif(33, 17, seed=4) == make_gif(33, 17, seed=4)
+    # GIF structural check: trailer byte present, screen descriptor LE
+    g = make_gif(33, 17, seed=4)
+    assert g[:6] == b"GIF89a" and g[-1:] == b"\x3b"
+    assert struct.unpack("<HH", g[6:10]) == (33, 17)
+
+
 def test_parse_jpeg_and_gif_headers():
     # handcrafted JPEG: SOI + APP0 stub + SOF0 with h=480 w=640
     jpeg = (

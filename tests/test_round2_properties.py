@@ -68,6 +68,28 @@ def test_simhash_batch_always_matches_scalar(texts):
     assert [int(v) for v in batch] == [simhash64(t) for t in texts]
 
 
+# --- minhash ---------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abC 12é-İ", max_size=40), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_batch_always_matches_scalar(texts):
+    """The vectorized polars/reduceat signature path must equal the
+    scalar spec doc-by-doc, including unicode lowering, <3-word docs,
+    and empty strings."""
+    import numpy as np
+
+    from kazu_ray.extras.dedup import minhash_signature, minhash_signatures_batch
+
+    batch = minhash_signatures_batch(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(batch[i], minhash_signature(t)), t
+
+
 # --- turtle parser ---------------------------------------------------------
 
 
