@@ -10,6 +10,8 @@ POSSIBLE = 10
 AGG_UNAMBIGUOUS = "UNAMBIGUOUS"
 AGG_MERGED_NON_SYMBOLIC = "MERGED_AS_NON_SYMBOLIC"
 AGG_RESOLVED_BY_SIMILARITY = "RESOLVED_BY_SIMILARITY"
+AGG_RESOLVED_BY_XREF = "RESOLVED_BY_XREF"  # OT disease dbXRef grouping
+AGG_CUSTOM = "CUSTOM"  # OT target same-label grouping
 AGG_NO_STRATEGY = "NO_STRATEGY"
 
 # string-match / disambiguation confidence labels (data.py:91-101)

@@ -27,8 +27,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..constants import (
+    AGG_CUSTOM,
     AGG_MERGED_NON_SYMBOLIC,
     AGG_RESOLVED_BY_SIMILARITY,
+    AGG_RESOLVED_BY_XREF,
     AGG_UNAMBIGUOUS,
     HIGHLY_LIKELY,
     PROBABLE,
@@ -103,6 +105,51 @@ def score_and_group_ids(
     return [sorted(c[0]) for c in clusters], AGG_RESOLVED_BY_SIMILARITY
 
 
+def group_ids_by_xref(
+    ids_and_source: set[tuple[str, str]],
+    xrefs_of,
+) -> list[list[tuple[str, str]]] | None:
+    """OpenTargets-disease build-time grouping (reference
+    OpenTargetsDiseaseOntologyParser.score_and_group_ids,
+    parsers.py:145-211): pairwise dbXRef-intersection buckets; ids whose
+    xref evidence is confused (two buckets sharing an id) make the whole
+    group fall back to the default algorithm (return None)."""
+    import itertools
+
+    pairs = sorted(ids_and_source)
+    unmapped = set(pairs)
+    groups: dict[frozenset, set] = {}
+    for (p1, x1), (p2, x2) in itertools.combinations(
+        ((p, xrefs_of(p[0])) for p in pairs), r=2
+    ):
+        matched = frozenset(x1 & x2)
+        if matched:
+            groups.setdefault(matched, set()).update((p1, p2))
+            unmapped.discard(p1)
+            unmapped.discard(p2)
+    if len(groups) > 1:
+        for s1, s2 in itertools.combinations(groups.values(), r=2):
+            if not s1.isdisjoint(s2):
+                return None  # confused xref evidence -> default method
+    out = [sorted(g) for g in groups.values()]
+    out.extend([p] for p in sorted(unmapped))
+    return out
+
+
+def group_ids_by_label(
+    ids_and_source: set[tuple[str, str]],
+    labels_by_idx: dict[str, str],
+) -> list[list[tuple[str, str]]]:
+    """OpenTargets-target build-time grouping (reference
+    OpenTargetsTargetOntologyParser.score_and_group_ids,
+    parsers.py:318-354): Ensembl ids sharing a default label (isoform
+    locations of one gene) form one equivalent-id set."""
+    by_label: dict[str, list] = {}
+    for pair in sorted(ids_and_source):
+        by_label.setdefault(labels_by_idx.get(pair[0], pair[0]), []).append(pair)
+    return [by_label[k] for k in sorted(by_label)]
+
+
 def _add_norm_columns(df: pd.DataFrame) -> pd.DataFrame:
     # scalar python fns over strings; lru-cached per worker
     import zlib
@@ -130,9 +177,35 @@ class _ResolveGroups:
     coarse-key-then-vectorize pattern as the LSH bucketing.  Each real
     group still gets exact reference semantics."""
 
-    def __init__(self, labels_by_idx: dict[str, str]):
+    def __init__(self, labels_by_idx: dict[str, str], grouping: dict | None = None):
         self.labels_by_idx = labels_by_idx
         self.scorer = HashedNgramEmbedder()
+        # jsonl-parser build-time grouping hints (parsers.grouping_hints):
+        # {"modes": {parser: "xref"|"label"}, "xrefs": {(parser, idx): set}}
+        self.group_modes = (grouping or {}).get("modes", {})
+        self.xrefs = (grouping or {}).get("xrefs", {})
+
+    def _resolve_ids(self, parser: str, ids_and_source, is_symbolic):
+        mode = self.group_modes.get(parser)
+        if mode and len(ids_and_source) > 1:
+            if mode == "xref":
+                assoc = group_ids_by_xref(
+                    ids_and_source,
+                    lambda idx: self.xrefs.get(
+                        (parser, idx), frozenset({idx.replace("_", ":")})
+                    ),
+                )
+                if assoc is not None:
+                    return assoc, AGG_RESOLVED_BY_XREF
+                # confused xrefs -> reference falls back to default
+            elif mode == "label":
+                return (
+                    group_ids_by_label(ids_and_source, self.labels_by_idx),
+                    AGG_CUSTOM,
+                )
+        return score_and_group_ids(
+            ids_and_source, is_symbolic, self.labels_by_idx, self.scorer
+        )
 
     def __call__(self, part: pd.DataFrame) -> pa.Table:
         cols = {k: [] for k in (
@@ -144,9 +217,7 @@ class _ResolveGroups:
             # reference semantics: symbolic iff EVERY raw surface is symbolic
             is_symbolic = bool(group["syn_symbolic"].all())
             ids_and_source = {(idx, find_kb(idx)) for idx in group["idx"]}
-            assoc, strategy = score_and_group_ids(
-                ids_and_source, is_symbolic, self.labels_by_idx, self.scorer
-            )
+            assoc, strategy = self._resolve_ids(parser, ids_and_source, is_symbolic)
             cols["parser_name"].append(parser)
             cols["entity_class"].append(group["entity_class"].iloc[0])
             cols["term_norm"].append(term_norm)
@@ -198,6 +269,7 @@ def compile_dictionaries(
     curated_terms: list | None = None,
     parser_actions: list | None = None,
     synonym_generators=None,
+    grouping: dict | None = None,
 ) -> CompiledDicts:
     """Run the compile job; returns paths of the three side tables.
 
@@ -207,6 +279,10 @@ def compile_dictionaries(
         (DROP_IDS_FROM_PARSER) applied before compile
     :param synonym_generators: a CombinatorialSynonymGenerator to expand
         surface forms (ontology/generate.py), or None
+    :param grouping: build-time id-grouping hints from
+        :func:`..ontology.parsers.grouping_hints` — per-parser mode
+        ("xref" / "label"), per-(parser, idx) xref sets, and annotation
+        scores (merged into metadata.parquet)
     """
     import ray
     import ray.data as rd
@@ -224,7 +300,11 @@ def compile_dictionaries(
             .drop_duplicates(subset=["parser_name", "idx"])
             .reset_index(drop=True)
         )
-        meta_df["annotation_score"] = 0
+        scores = (grouping or {}).get("annotation_scores", {})
+        meta_df["annotation_score"] = [
+            scores.get((p, i), 0)
+            for p, i in zip(meta_df["parser_name"], meta_df["idx"])
+        ]
         meta_df["data_origin"] = "source_df"
     else:
         meta_df = metadata_frame()
@@ -258,10 +338,11 @@ def compile_dictionaries(
     # resolve state is just this dict + a cheap embedder)
     import ray as _ray
 
-    labels_ref = _ray.put(labels_by_idx)
+    labels_ref = _ray.put((labels_by_idx, grouping))
 
     def _resolve_part(part: pd.DataFrame) -> pa.Table:
-        return _ResolveGroups(_ray.get(labels_ref))(part)
+        labels, grp = _ray.get(labels_ref)
+        return _ResolveGroups(labels, grp)(part)
 
     compiled = (
         ds.map_batches(_add_norm_columns, batch_format="pandas")

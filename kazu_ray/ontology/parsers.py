@@ -597,6 +597,241 @@ class MeddraParser:
         return _to_frame(self.name, self.entity_class, rows)
 
 
+# ---------------------------------------------------------------------------
+# JSON-lines ontologies: OpenTargets disease/target/molecule + HGNC
+# ---------------------------------------------------------------------------
+
+
+class JsonLinesParser:
+    """One KB entry per line (reference JsonLinesOntologyParser,
+    parsers.py:56-88).  ``in_path`` may be a directory (every ``*.json``
+    / ``*.jsonl`` inside is read, the OpenTargets release layout) or a
+    single file.  Subclasses implement :meth:`records`.
+
+    Subclasses may also set ``grouping`` ("default" | "xref" | "label")
+    and fill ``xrefs_by_idx`` during parse — the compile job's
+    score_and_group_ids consults these to reproduce the reference's
+    build-time id groupings (disease dbXRef intersection, target
+    same-label grouping)."""
+
+    grouping: str = "default"
+
+    def __init__(self, in_path: str, entity_class: str, name: str):
+        self.in_path = in_path
+        self.entity_class = entity_class
+        self.name = name
+        self.xrefs_by_idx: dict[str, frozenset] = {}
+        self.annotation_score_by_idx: dict[str, int] = {}
+
+    def read(self):
+        if os.path.isdir(self.in_path):
+            paths = sorted(
+                os.path.join(self.in_path, f)
+                for f in os.listdir(self.in_path)
+                if f.endswith((".json", ".jsonl"))
+            )
+        else:
+            paths = [self.in_path]
+        for p in paths:
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield json.loads(line)
+
+    def records(self, jsons_gen):
+        raise NotImplementedError
+
+    def parse_to_dataframe(self) -> pd.DataFrame:
+        return _to_frame(self.name, self.entity_class, list(self.records(self.read())))
+
+
+class OpenTargetsDiseaseParser(JsonLinesParser):
+    """OpenTargets disease release (reference
+    OpenTargetsDiseaseOntologyParser, parsers.py:91-250): top-level
+    therapeutic areas are skipped, entries outside
+    ``allowed_therapeutic_areas`` are skipped, and each entry yields its
+    name plus hasExactSynonym rows.  Per-id dbXRefs (plus the id itself
+    in CURIE form) are recorded for the compile-time xref grouping
+    (parsers.py:145-211)."""
+
+    grouping = "xref"
+
+    def __init__(self, in_path: str, entity_class: str, name: str,
+                 allowed_therapeutic_areas):
+        super().__init__(in_path, entity_class, name)
+        self.allowed_therapeutic_areas = set(allowed_therapeutic_areas)
+
+    def records(self, jsons_gen):
+        for d in jsons_gen:
+            if d.get("ontology", {}).get("isTherapeuticArea"):
+                continue
+            if set(d.get("therapeuticAreas", ())).isdisjoint(
+                self.allowed_therapeutic_areas
+            ):
+                continue
+            idx = d["id"]
+            label = d["name"]
+            self.xrefs_by_idx[idx] = frozenset(
+                d.get("dbXRefs", [])
+            ) | {idx.replace("_", ":")}
+            yield (idx, label, label, "name")
+            for syn in d.get("synonyms", {}).get("hasExactSynonym", []):
+                yield (idx, label, syn, "hasExactSynonym")
+
+
+# annotation richness proxy (reference OpenTargetsTargetOntologyParser
+# ANNOTATION_FIELDS, parsers.py:266-277)
+_OT_TARGET_ANNOTATION_FIELDS = (
+    "subcellularLocations", "tractability", "constraint",
+    "functionDescriptions", "go", "hallmarks", "chemicalProbes",
+    "safetyLiabilities", "pathways", "targetClass",
+)
+
+
+class OpenTargetsTargetParser(JsonLinesParser):
+    """OpenTargets target release (reference
+    OpenTargetsTargetOntologyParser, parsers.py:253-441): records
+    without an approved symbol (id == approvedSymbol) and excluded
+    biotypes are dropped; synonyms/obsoleteSymbols/obsoleteNames/
+    proteinIds rows carry their source as mapping_type; approvedSymbol /
+    approvedName / id are emitted as their own rows.  Ensembl ids of the
+    same gene are grouped at compile time by default label
+    (parsers.py:318-354); per-id annotation_score feeds the
+    AnnotationLevel disambiguation strategy."""
+
+    grouping = "label"
+
+    def __init__(self, in_path: str, entity_class: str, name: str,
+                 excluded_biotypes=()):
+        super().__init__(in_path, entity_class, name)
+        self.excluded_biotypes = set(excluded_biotypes)
+
+    def records(self, jsons_gen):
+        for d in jsons_gen:
+            if d.get("biotype") in self.excluded_biotypes:
+                continue
+            if d["id"] == d["approvedSymbol"]:
+                continue
+            idx = d["id"]
+            label = d["approvedSymbol"]
+            self.annotation_score_by_idx[idx] = sum(
+                1 for f in _OT_TARGET_ANNOTATION_FIELDS if len(d.get(f, [])) > 0
+            )
+            for key in ("synonyms", "obsoleteSymbols", "obsoleteNames", "proteinIds"):
+                for rec in d.get(key, []):
+                    if "label" in rec and "id" in rec:
+                        raise ValueError(f"record {rec} has both id and label")
+                    syn = rec["label"] if "label" in rec else rec["id"]
+                    yield (idx, label, syn, rec["source"])
+            yield (idx, label, d["approvedSymbol"], "approvedSymbol")
+            yield (idx, label, d["approvedName"], "approvedName")
+            yield (idx, label, idx, "opentargets_id")
+
+
+class OpenTargetsMoleculeParser(JsonLinesParser):
+    """OpenTargets molecule release (reference
+    OpenTargetsMoleculeOntologyParser, parsers.py:416-452): synonyms +
+    the name itself as mapping_type "synonyms", trade names as
+    "tradeNames"."""
+
+    def records(self, jsons_gen):
+        for d in jsons_gen:
+            idx = d["id"]
+            label = d["name"]
+            for syn in [*d.get("synonyms", []), label]:
+                yield (idx, label, syn, "synonyms")
+            for tn in d.get("tradeNames", []):
+                yield (idx, label, tn, "tradeNames")
+
+
+_HGNC_SYN_KEYS = (
+    "name", "symbol", "uniprot_ids", "alias_name", "alias_symbol",
+    "prev_name", "lncipedia", "prev_symbol", "vega_id",
+    "refseq_accession", "hgnc_id", "mgd_id", "rgd_id", "ccds_id",
+    "pseudogene.org",
+)
+
+
+class HGNCGeneParser:
+    """hgnc_complete_set.json (reference HGNCGeneOntologyParser,
+    parsers.py:953-1048): one whole-file json with response.docs; every
+    doc with an ensembl_gene_id + name yields its deduplicated synonym
+    strings across the fixed key list, keyed by the Ensembl id."""
+
+    def __init__(self, in_path: str, entity_class: str = "gene", name: str = "HGNC"):
+        self.in_path = in_path
+        self.entity_class = entity_class
+        self.name = name
+
+    def parse_to_dataframe(self) -> pd.DataFrame:
+        with open(self.in_path) as f:
+            data = json.load(f)
+        rows = []
+        for doc in data["response"]["docs"]:
+            idx = doc.get("ensembl_gene_id")
+            label = doc.get("name")
+            if idx is None or label is None:
+                continue
+            seen = set()
+            for key in _HGNC_SYN_KEYS:
+                vals = doc.get(key, [])
+                if not isinstance(vals, list):
+                    vals = [vals]
+                for syn in vals:
+                    if (syn, key) not in seen:
+                        seen.add((syn, key))
+                        rows.append((idx, label, syn, key))
+        return _to_frame(self.name, self.entity_class, rows)
+
+
+class HGNCGeneFamilyParser:
+    """HGNC gene-family TSV (reference HGNCGeneFamilyParser,
+    parsers.py:1398-1437): rows grouped by Family ID; the single family
+    name plus "Family alias" / "Common root gene symbol" values become
+    synonyms."""
+
+    syn_column_keys = ("Family alias", "Common root gene symbol")
+
+    def __init__(self, in_path: str, entity_class: str = "gene_family",
+                 name: str = "HGNC_GENE_FAMILY"):
+        self.in_path = in_path
+        self.entity_class = entity_class
+        self.name = name
+
+    def parse_to_dataframe(self) -> pd.DataFrame:
+        df = pd.read_csv(self.in_path, sep="\t")
+        rows = []
+        for family_id, grp in df.groupby("Family ID"):
+            names = set(grp["Family name"].dropna())
+            assert len(names) == 1, f"multiple family names for {family_id}"
+            label = next(iter(names))
+            rows.append((family_id, label, label, "Family name"))
+            for key in self.syn_column_keys:
+                for syn in sorted(set(grp[key].dropna())):
+                    rows.append((family_id, label, syn, key))
+        return _to_frame(self.name, self.entity_class, rows)
+
+
 def frames_from_parsers(parsers: list) -> pd.DataFrame:
     """Concatenate parser outputs into one compile-ready frame."""
     return pd.concat([p.parse_to_dataframe() for p in parsers], ignore_index=True)
+
+
+def grouping_hints(parsers: list) -> dict:
+    """Collect the compile-time grouping metadata the jsonl parsers
+    expose: per-parser grouping mode, per-(parser, idx) xref sets, and
+    per-(parser, idx) annotation scores.  Feed the result to
+    ``compile_dictionaries(..., grouping=...)``."""
+    modes = {}
+    xrefs = {}
+    scores = {}
+    for p in parsers:
+        mode = getattr(p, "grouping", "default")
+        if mode != "default":
+            modes[p.name] = mode
+        for idx, xs in getattr(p, "xrefs_by_idx", {}).items():
+            xrefs[(p.name, idx)] = xs
+        for idx, sc in getattr(p, "annotation_score_by_idx", {}).items():
+            scores[(p.name, idx)] = sc
+    return {"modes": modes, "xrefs": xrefs, "annotation_scores": scores}

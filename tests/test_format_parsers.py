@@ -257,3 +257,161 @@ def test_meddra_incomplete_llt_row_dropped(tmp_path):
     df = MeddraParser(str(d)).parse_to_dataframe()
     assert "Ache" in set(df["syn"])
     assert "Orphan" not in set(df["syn"])
+
+
+# --- JSON-lines parsers (OpenTargets + HGNC) -------------------------------
+
+
+def test_ot_disease_parser_filters_and_xrefs():
+    from kazu_ray.ontology.parsers import OpenTargetsDiseaseParser
+
+    p = OpenTargetsDiseaseParser(
+        os.path.join(FIX, "ot_disease_sample.jsonl"), "disease", "OT_DISEASE",
+        allowed_therapeutic_areas=["MONDO_0045024"],
+    )
+    df = p.parse_to_dataframe()
+    # therapeutic-area record skipped; disallowed-area record skipped
+    assert "MONDO_0045024" not in set(df["idx"])
+    assert "MONDO_0008" not in set(df["idx"])
+    # related synonyms ignored (reference yields only hasExactSynonym)
+    assert "asthma-ish" not in set(df["syn"])
+    acute = df[df["idx"] == "MONDO_0001"]
+    assert sorted(acute["syn"]) == ["acute asthma", "sudden asthma"]
+    assert sorted(set(acute["mapping_type"])) == ["hasExactSynonym", "name"]
+    # xref map records dbXRefs + the id itself in CURIE form
+    assert p.xrefs_by_idx["MONDO_0001"] == {"UMLS:C0001", "DOID:111", "MONDO:0001"}
+
+
+def test_ot_target_parser_records():
+    from kazu_ray.ontology.parsers import OpenTargetsTargetParser
+
+    p = OpenTargetsTargetParser(
+        os.path.join(FIX, "ot_target_sample.jsonl"), "gene", "OT_TARGET",
+        excluded_biotypes=["snRNA"],
+    )
+    df = p.parse_to_dataframe()
+    # excluded biotype + no-approved-symbol records dropped
+    assert "ENSG00000777777" not in set(df["idx"])
+    assert "ENSG00000888888" not in set(df["idx"])
+    egfr = df[df["idx"] == "ENSG00000146648"]
+    assert set(egfr["syn"]) == {
+        "ERBB1", "P00533", "EGFR",
+        "epidermal growth factor receptor", "ENSG00000146648",
+    }
+    # mapping types carry the synonym's source / field
+    mt = dict(zip(egfr["syn"], egfr["mapping_type"]))
+    assert mt["ERBB1"] == "HGNC"
+    assert mt["P00533"] == "uniprot_swissprot"
+    assert mt["ENSG00000146648"] == "opentargets_id"
+    # annotation richness: EGFR has go+pathways, KRAS has go, isoform none
+    assert p.annotation_score_by_idx["ENSG00000146648"] == 2
+    assert p.annotation_score_by_idx["ENSG00000133703"] == 1
+    assert p.annotation_score_by_idx["ENSG00000999001"] == 0
+
+
+def test_ot_molecule_parser_records():
+    from kazu_ray.ontology.parsers import OpenTargetsMoleculeParser
+
+    p = OpenTargetsMoleculeParser(
+        os.path.join(FIX, "ot_molecule_sample.jsonl"), "drug", "OT_MOLECULE"
+    )
+    df = p.parse_to_dataframe()
+    asp = df[df["idx"] == "CHEMBL25"]
+    assert set(asp["syn"]) == {
+        "ASPIRIN", "Acetylsalicylic acid", "2-Acetoxybenzoic acid",
+        "Aspro", "Ecotrin",
+    }
+    mt = dict(zip(asp["syn"], asp["mapping_type"]))
+    assert mt["Aspro"] == "tradeNames" and mt["ASPIRIN"] == "synonyms"
+
+
+def test_hgnc_gene_parser():
+    from kazu_ray.ontology.parsers import HGNCGeneParser
+
+    df = HGNCGeneParser(os.path.join(FIX, "hgnc_sample.json")).parse_to_dataframe()
+    # doc without ensembl_gene_id skipped
+    assert set(df["idx"]) == {"ENSG00000146648", "ENSG00000133703"}
+    egfr = df[df["idx"] == "ENSG00000146648"]
+    assert {"EGFR", "ERBB1", "HER1", "P00533", "HGNC:3236",
+            "epidermal growth factor receptor"} <= set(egfr["syn"])
+    # scalar json values handled like single-element lists
+    assert "OTTHUMG00000023661" in set(egfr["syn"])
+    mt = dict(zip(egfr["syn"], egfr["mapping_type"]))
+    assert mt["HER1"] == "alias_symbol" and mt["P00533"] == "uniprot_ids"
+
+
+def test_hgnc_family_parser():
+    from kazu_ray.ontology.parsers import HGNCGeneFamilyParser
+
+    df = HGNCGeneFamilyParser(
+        os.path.join(FIX, "hgnc_family_sample.tsv")
+    ).parse_to_dataframe()
+    ils = df[df["idx"] == 588]
+    assert sorted(ils["syn"]) == ["IL", "ILs", "Interleukin family", "Interleukins"]
+    rtk = df[df["idx"] == 471]
+    # empty alias cells dropped, not emitted as NaN synonyms
+    assert sorted(rtk["syn"]) == ["RTK", "Receptor tyrosine kinases"]
+
+
+def test_jsonl_build_time_groupings_compile(ray_session, tmp_path):
+    """The reference's build-time id groupings survive the compile job:
+    OT disease groups ambiguous synonyms by dbXRef intersection (merging
+    xref-linked ids, splitting unlinked ones, falling back on confused
+    evidence); OT target groups Ensembl ids by default label; target
+    annotation scores land in metadata.parquet."""
+    import pyarrow.parquet as pq
+
+    from kazu_ray.functions.normalize import normalize
+    from kazu_ray.ontology.compile import compile_dictionaries
+    from kazu_ray.ontology.parsers import (
+        OpenTargetsDiseaseParser,
+        OpenTargetsTargetParser,
+        grouping_hints,
+    )
+
+    parsers = [
+        OpenTargetsDiseaseParser(
+            os.path.join(FIX, "ot_disease_sample.jsonl"), "disease", "OT_DISEASE",
+            allowed_therapeutic_areas=["MONDO_0045024"],
+        ),
+        OpenTargetsTargetParser(
+            os.path.join(FIX, "ot_target_sample.jsonl"), "gene", "OT_TARGET",
+            excluded_biotypes=["snRNA"],
+        ),
+    ]
+    frame = frames_from_parsers(parsers)  # fills xref/score maps
+    out = compile_dictionaries(
+        str(tmp_path / "dicts"), source_df=frame, grouping=grouping_hints(parsers)
+    )
+    syn = {
+        (r["parser_name"], r["term_norm"]): r
+        for r in pq.read_table(out.synonyms_path).to_pylist()
+    }
+
+    def id_sets(parser, term, cls):
+        row = syn[(parser, normalize(term, cls))]
+        return (
+            sorted(sorted(m["idx"] for m in s) for s in row["assoc_sets"]),
+            row["agg_strategy"],
+        )
+
+    # shared xref UMLS:C0001 -> one merged pair
+    assert id_sets("OT_DISEASE", "sudden asthma", "disease") == (
+        [["EFO_0002", "MONDO_0001"]], "RESOLVED_BY_XREF")
+    # no shared xref -> SPLIT, where the default non-symbolic rule would merge
+    assert id_sets("OT_DISEASE", "persistent wheeze", "disease") == (
+        [["EFO_0004"], ["MONDO_0003"]], "RESOLVED_BY_XREF")
+    # confused xref evidence (A~B via X1, B~C via X2) -> default fallback
+    assert id_sets("OT_DISEASE", "mystery cough", "disease") == (
+        [["EFO_0007", "MONDO_0005", "MONDO_0006"]], "MERGED_AS_NON_SYMBOLIC")
+    # same approved symbol -> isoform Ensembl ids grouped as one gene
+    assert id_sets("OT_TARGET", "EGFR", "gene") == (
+        [["ENSG00000146648", "ENSG00000999001"]], "CUSTOM")
+    # shared surface across DIFFERENT labels -> split by label
+    assert id_sets("OT_TARGET", "ERBB1", "gene") == (
+        [["ENSG00000133703"], ["ENSG00000146648"]], "CUSTOM")
+    # annotation scores merged into the metadata side table
+    meta = pq.read_table(out.metadata_path).to_pylist()
+    scores = {m["idx"]: m["annotation_score"] for m in meta
+              if m["parser_name"] == "OT_TARGET"}
+    assert scores["ENSG00000146648"] == 2 and scores["ENSG00000999001"] == 0
