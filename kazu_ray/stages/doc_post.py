@@ -16,13 +16,24 @@ one row-local stage reproduces the reference's sequential semantics
 exactly while staying embarrassingly parallel across documents — the
 Ray-idiomatic boundary (SURVEY.md §3).
 
-Deviation from the reference, documented: the reference runs the cascade
-sequentially over entity groups sorted by confidence/key, letting
-``DefinedElsewhereInDocumentDisambiguationStrategy`` observe mappings
-added moments earlier.  We run two deterministic passes instead (pass 1
-resolves unambiguous candidates and records the document's mapped ids;
-pass 2 disambiguates the rest against that state), which yields the same
-fixpoint on acceptance fixtures without order-dependent bookkeeping.
+The cascade mirrors the reference's confidence-ordered sequential
+semantics (strategy_runner.py:254-342): entities are processed in
+descending ``mention_confidence`` groups, and within each group the
+unambiguous ladder pass runs before disambiguation of that group's
+deferred entities (entity-key order).  Every non-AMBIGUOUS resolution —
+including disambiguation results — immediately joins the document's
+mapped-id state, so ``DefinedElsewhereInDocument`` in a later (lower
+confidence) group observes mappings created by earlier groups, and a
+higher-confidence group never observes a lower-confidence mapping (the
+reference attaches mappings to the Document as each strategy yields,
+and processes high-confidence groups first).  Remaining deviation,
+documented: within one confidence group the reference interleaves by
+(strategy index, entity key) while we run the full ladder per entity
+(pass 1) before any in-group disambiguation (pass 2) — in-group
+DefinedElsewhere therefore sees every in-group unambiguous resolution
+regardless of key order, a superset visible only when an unambiguous
+entity resolves at a LATER ladder index than a peer's disambiguation
+AND sorts after it; no acceptance fixture distinguishes the two.
 """
 
 from __future__ import annotations
@@ -446,63 +457,99 @@ class MappingCascade:
         return None, None
 
     def run(self, spans: list[dict], entities: list[dict]) -> None:
+        """Confidence-ordered cascade (reference strategy_runner.py:254-342).
+
+        High-confidence groups resolve — including disambiguation —
+        before lower-confidence groups run, so DefinedElsewhere in a
+        lower group observes every mapping the higher groups created and
+        never the reverse (the reference attaches mappings immediately
+        and iterates confidence groups high to low)."""
         doc_mapped_ids: set[str] = set()
-        deferred: list[tuple[dict, str, list, str, str]] = []
 
-        # pass 1: run the string-match ladder per (entity, parser); map
-        # immediately when a single equivalent-id set remains
-        for e in entities:
-            by_parser: dict[str, list[dict]] = {}
-            for cand in e["candidates"]:
-                by_parser.setdefault(cand["parser_name"], []).append(cand)
-            mappings: list[dict] = []
-            for parser, cands in by_parser.items():
-                selection = self._select_terms(e, parser, cands)
-                if selection is None:
-                    continue
-                selected, strategy, match_conf = selection
-                id_sets: list[frozenset] = []
-                for c in selected:
-                    rec = self.synonyms.get((parser, c["term_norm"]))
-                    if rec is None:
+        # doc context vector computed lazily, once per doc, only if any
+        # group has ambiguous candidates to disambiguate
+        ctx_state: list = [False, None]
+
+        def ctx_vec():
+            if not ctx_state[0]:
+                ctx_state[0] = True
+                doc_context = " ".join(t for t in _span_texts(spans) if t)
+                if doc_context:
+                    ctx_state[1] = self.embedder.encode(doc_context[:2000])
+            return ctx_state[1]
+
+        # descending confidence; entity-key order within a group mirrors
+        # the reference's entity_to_entity_key sort (strategy_runner.py:28-37)
+        order = sorted(
+            range(len(entities)),
+            key=lambda i: (
+                -entities[i]["mention_confidence"],
+                entities[i]["match"],
+                entities[i]["match_norm"],
+                entities[i]["entity_class"],
+            ),
+        )
+        for _conf, group in itertools.groupby(
+            order, key=lambda i: entities[i]["mention_confidence"]
+        ):
+            deferred: list[tuple[dict, str, list, str, str]] = []
+
+            # pass 1 (this group): run the string-match ladder per
+            # (entity, parser); map immediately when a single
+            # equivalent-id set remains
+            for i in group:
+                e = entities[i]
+                by_parser: dict[str, list[dict]] = {}
+                for cand in e["candidates"]:
+                    by_parser.setdefault(cand["parser_name"], []).append(cand)
+                mappings: list[dict] = []
+                for parser, cands in by_parser.items():
+                    selection = self._select_terms(e, parser, cands)
+                    if selection is None:
                         continue
-                    for s in rec.assoc_sets:
-                        if s not in id_sets:
-                            id_sets.append(s)
-                if not id_sets:
-                    continue
-                if len(id_sets) == 1:
-                    res = _Resolution(
-                        id_sets[0], "NotAmbiguous", match_conf, strategy, match_conf
-                    )
-                    mappings.extend(self._make_mappings(parser, res))
-                else:
-                    deferred.append((e, parser, id_sets, strategy, match_conf))
-            if mappings:
-                e["mappings"] = e["mappings"] + mappings
-                doc_mapped_ids.update(m["idx"] for m in mappings)
+                    selected, strategy, match_conf = selection
+                    id_sets: list[frozenset] = []
+                    for c in selected:
+                        rec = self.synonyms.get((parser, c["term_norm"]))
+                        if rec is None:
+                            continue
+                        for s in rec.assoc_sets:
+                            if s not in id_sets:
+                                id_sets.append(s)
+                    if not id_sets:
+                        continue
+                    if len(id_sets) == 1:
+                        res = _Resolution(
+                            id_sets[0], "NotAmbiguous", match_conf, strategy, match_conf
+                        )
+                        mappings.extend(self._make_mappings(parser, res))
+                    else:
+                        deferred.append((e, parser, id_sets, strategy, match_conf))
+                if mappings:
+                    e["mappings"] = e["mappings"] + mappings
+                    doc_mapped_ids.update(m["idx"] for m in mappings)
 
-        # pass 2: disambiguate against document state (doc context vector
-        # computed once per doc, only if anything ambiguous remains)
-        ctx_vec = None
-        if deferred:
-            doc_context = " ".join(t for t in _span_texts(spans) if t)
-            if doc_context:
-                ctx_vec = self.embedder.encode(doc_context[:2000])
-        for e, parser, id_sets, strategy, match_conf in deferred:
-            entity_class = e["entity_class"]
-            chosen, disamb = self._disambiguate(
-                parser, entity_class, id_sets, e, doc_mapped_ids, ctx_vec
-            )
-            if chosen is None:
-                # all candidate ids kept, flagged AMBIGUOUS -> cleanup drops
-                all_ids = frozenset().union(*id_sets)
-                res = _Resolution(
-                    all_ids, "NoStrategySucceeded", LINK_AMBIGUOUS, strategy, match_conf
+            # pass 2 (this group): disambiguate deferred entities against
+            # the document state; each successful resolution joins the
+            # state immediately, visible to later deferred entries and to
+            # every lower-confidence group
+            for e, parser, id_sets, strategy, match_conf in deferred:
+                entity_class = e["entity_class"]
+                chosen, disamb = self._disambiguate(
+                    parser, entity_class, id_sets, e, doc_mapped_ids, ctx_vec()
                 )
-            else:
-                res = _Resolution(chosen, disamb, LINK_PROBABLE, strategy, match_conf)
-            e["mappings"] = e["mappings"] + self._make_mappings(parser, res)
+                if chosen is None:
+                    # all candidate ids kept, flagged AMBIGUOUS -> cleanup
+                    # drops; ambiguous ids never join doc_mapped_ids (the
+                    # reference attaches no mapping on strategy failure)
+                    all_ids = frozenset().union(*id_sets)
+                    res = _Resolution(
+                        all_ids, "NoStrategySucceeded", LINK_AMBIGUOUS, strategy, match_conf
+                    )
+                else:
+                    res = _Resolution(chosen, disamb, LINK_PROBABLE, strategy, match_conf)
+                    doc_mapped_ids.update(idx for idx, _src in chosen)
+                e["mappings"] = e["mappings"] + self._make_mappings(parser, res)
 
 
 # ---------------------------------------------------------------------------
