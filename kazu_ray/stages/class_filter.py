@@ -8,18 +8,37 @@ with that key are dropped unless the document validates them:
 - drop if a false-positive rule hits anywhere in the document, OR
 - drop if true-positive rules are configured but never hit.
 
-Rules are evaluated against the SENTENCE containing each mention.  The
-reference expresses rules as spaCy token-Matcher patterns; here a rule
-is a context phrase matched case-insensitively within the sentence
-(the same expressive job for dictionary-style disambiguation rules;
-a token-pattern engine can slot in behind the same interface).
+Rules are evaluated against the SENTENCE containing each mention, in
+either of two forms, freely mixed within one tp/fp list:
+
+- a **token pattern** (list of spec dicts) in the reference's spaCy
+  Matcher syntax subset — ``LOWER`` / ``NORM`` / ``ORTH`` attrs, ``IN``
+  / ``NOT_IN`` / ``REGEX`` value specs, ``OP`` quantifiers, and the
+  ``_: {<entity_class>: bool}`` custom extension marking tokens covered
+  by an entity of that class (functions/token_matcher.py) — so
+  reference-style conf rules (e.g.
+  conf/RulesBasedEntityClassDisambiguationFilterStep/default.yaml) port
+  directly;
+- a **context phrase** (plain string) matched case-insensitively within
+  the sentence — a convenience shorthand for 1-gram/n-gram rules.
 """
 
 from __future__ import annotations
 
+from ..functions.token_matcher import MatchToken, TokenMatcher, annotate_tokens
 from .sentences import sentence_spans
 
-RuleDict = dict[str, list[str] | None]  # {"tp": [...], "fp": [...]}
+RuleDict = dict  # {"tp": [phrase | pattern, ...] | None, "fp": ...}
+
+
+def _compile_aspect(rules) -> tuple[list[str], TokenMatcher | None] | None:
+    """Split an aspect's rule list into (lowercased phrases, one compiled
+    TokenMatcher over all pattern rules); None when not configured."""
+    if rules is None:
+        return None
+    phrases = [r.lower() for r in rules if isinstance(r, str)]
+    patterns = [r for r in rules if not isinstance(r, str)]
+    return phrases, TokenMatcher(patterns) if patterns else None
 
 
 class ClassDisambiguationFilter:
@@ -28,25 +47,75 @@ class ClassDisambiguationFilter:
         class_rules: dict[str, RuleDict] | None = None,
         mention_rules: dict[str, dict[str, RuleDict]] | None = None,
     ):
-        self.class_rules = class_rules or {}
-        self.mention_rules = mention_rules or {}
+        def compile_rules(rd: RuleDict) -> dict:
+            return {a: _compile_aspect(rd.get(a)) for a in ("tp", "fp")}
+
+        self.class_rules = {
+            cls: compile_rules(rd) for cls, rd in (class_rules or {}).items()
+        }
+        self.mention_rules = {
+            cls: {m: compile_rules(rd) for m, rd in by_match.items()}
+            for cls, by_match in (mention_rules or {}).items()
+        }
+        self._needs_tokens = any(
+            c[1] is not None
+            for rd in list(self.class_rules.values())
+            + [rd for by in self.mention_rules.values() for rd in by.values()]
+            for c in rd.values()
+            if c is not None
+        )
 
     @staticmethod
-    def _hit(rules: list[str] | None, sentence: str) -> bool | None:
+    def _hit(compiled, sentence: str, tokens: list[MatchToken] | None) -> bool | None:
         """True/False on configured rules; None when not configured."""
-        if rules is None:
+        if compiled is None:
             return None
-        return any(r.lower() in sentence for r in rules)
+        phrases, matcher = compiled
+        if any(p in sentence for p in phrases):
+            return True
+        return bool(matcher and tokens is not None and matcher(tokens))
 
-    def _sentence_of(self, text: str, start: int, cache: dict) -> str:
-        sents = cache.get(id(text))
+    def _sentence_ctx(
+        self,
+        spans: list[dict],
+        entities: list[dict],
+        span_idx: int,
+        start: int,
+        cache: dict,
+    ) -> tuple[str, list[MatchToken] | None]:
+        """(lowercased sentence, class-annotated tokens) for the sentence
+        containing char ``start`` of span ``span_idx``; tokens are only
+        built when any pattern rule is configured."""
+        sp = spans[span_idx]
+        text = sp["text"] if isinstance(sp, dict) else sp
+        sents = cache.get(span_idx)
         if sents is None:
-            sents = sentence_spans(text)
-            cache[id(text)] = sents
-        for s, e in sents:
+            sents = {"bounds": sentence_spans(text), "ctx": {}}
+            cache[span_idx] = sents
+        for s, e in sents["bounds"]:
             if s <= start < e:
-                return text[s:e].lower()
-        return text.lower()
+                break
+        else:
+            s, e = 0, len(text)
+        ctx = sents["ctx"].get(s)
+        if ctx is None:
+            sent_text = text[s:e]
+            tokens = None
+            if self._needs_tokens:
+                # custom-extension attrs see every entity of this span
+                # overlapping the sentence (reference KazuToSpacyObjectMapper
+                # sets the extension for all mapped entity classes)
+                in_sent = [
+                    ent
+                    for ent in entities
+                    if ent["span_idx"] == span_idx
+                    and ent["start"] < e
+                    and s < ent["end"]
+                ]
+                tokens = annotate_tokens(sent_text, s, in_sent)
+            ctx = (sent_text.lower(), tokens)
+            sents["ctx"][s] = ctx
+        return ctx
 
     def apply(self, spans: list[dict], entities: list[dict]) -> list[dict]:
         if not self.class_rules and not self.mention_rules:
@@ -71,14 +140,14 @@ class ClassDisambiguationFilter:
                 continue
             considered.append(e)
             key = (e["match"], cls)
-            sp = spans[e["span_idx"]]
-            text = sp["text"] if isinstance(sp, dict) else sp
-            sentence = self._sentence_of(text, e["start"], sent_cache)
+            sentence, tokens = self._sentence_ctx(
+                spans, entities, e["span_idx"], e["start"], sent_cache
+            )
             for rules in rules_list:
                 for aspect, cfg_map, hit_map in (
                     ("tp", tp_cfg, tp_hit), ("fp", fp_cfg, fp_hit)
                 ):
-                    res = self._hit(rules.get(aspect), sentence)
+                    res = self._hit(rules[aspect], sentence, tokens)
                     if res is None:
                         cfg_map.setdefault(key, False)
                     else:
