@@ -28,3 +28,4 @@ PRED_MAPS_TO = "maps-to"
 NS_DICT_NER = "DictionaryNER"
 NS_TRANSFORMER_NER = "TransformerNER"
 NS_ABBREV = "AbbreviationExpansion"
+NS_PATTERN_NER = "PatternNER"

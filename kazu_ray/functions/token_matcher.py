@@ -148,3 +148,50 @@ class TokenMatcher:
                 if self._match_at(toks, i, specs, 0):
                     return True
         return False
+
+    @staticmethod
+    def _ends(toks: list[MatchToken], i: int, specs, j: int, memo: dict) -> set[int]:
+        """All token positions where ``specs[j:]`` can finish when started
+        at position ``i`` (memoized — patterns and sentences are small)."""
+        key = (i, j)
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        out: set[int] = set()
+        if j == len(specs):
+            out.add(i)
+        else:
+            test, op = specs[j]
+            ok = i < len(toks) and test(toks[i])
+            if op in ("1", "+") and ok:
+                nxt = j + 1 if op == "1" else j
+                out |= TokenMatcher._ends(toks, i + 1, specs, nxt, memo)
+            if op == "+" and ok:
+                out |= TokenMatcher._ends(toks, i + 1, specs, j + 1, memo)
+            if op in ("?", "*"):
+                out |= TokenMatcher._ends(toks, i, specs, j + 1, memo)
+                if ok:
+                    nxt = j + 1 if op == "?" else j
+                    out |= TokenMatcher._ends(toks, i + 1, specs, nxt, memo)
+        memo[key] = out
+        return out
+
+    def find_spans(self, toks: list[MatchToken]) -> list[tuple[int, int]]:
+        """Non-overlapping (start, end) token ranges, longest-match-wins
+        with earlier-start tie-break — spaCy ``util.filter_spans``
+        semantics over all raw Matcher hits."""
+        raw: list[tuple[int, int]] = []
+        for specs in self.compiled:
+            for i in range(len(toks)):
+                memo: dict = {}
+                ends = self._ends(toks, i, specs, 0, memo)
+                ends.discard(i)  # zero-width matches are not entities
+                if ends:
+                    raw.append((i, max(ends)))
+        raw.sort(key=lambda se: (-(se[1] - se[0]), se[0]))
+        taken: list[tuple[int, int]] = []
+        for s, e in raw:
+            if all(e <= ts or te <= s for ts, te in taken):
+                taken.append((s, e))
+        taken.sort()
+        return taken

@@ -19,6 +19,10 @@ STEP_GROUPS: dict[str, tuple[str, ...]] = {
     "linking_only": ("linking", "doc_post"),
     # token-level phrase matching variant (Explosion-analogue NER)
     "token_match": ("prefilter", "token_ner", "doc_post"),
+    # rule-pipeline NER (SpacyNerStep analogue, EntityRuler deployment
+    # mode) — output flows into linking like reference spaCy-NER output
+    # flows into DictionaryEntityLinkingStep
+    "pattern_ner": ("prefilter", "pattern_ner", "linking", "doc_post"),
 }
 
 
@@ -34,6 +38,9 @@ class PipelineConfig:
     # (HF layout, loaded torch-lessly via state/numpy_bert.py).  The
     # repo ships one: kazu_ray.assets.TINY_BERT_NER.
     transformer_tagger: str = "mock"
+    # EntityRuler-style rules for the pattern_ner step:
+    # {entity_class: [token-pattern or phrase string, ...]}
+    pattern_rules: dict = field(default_factory=dict)
 
     @classmethod
     def from_group(cls, group: str, **overrides) -> "PipelineConfig":
@@ -71,6 +78,14 @@ def build(docs_ds, dicts, config: PipelineConfig):
             ds = ds.map_batches(
                 TokenPhraseNer,
                 fn_constructor_args=(dicts.curations_path, dicts.synonyms_path),
+                **common,
+            )
+        elif step == "pattern_ner":
+            from ..stages.pattern_ner import PatternNer
+
+            ds = ds.map_batches(
+                PatternNer,
+                fn_constructor_args=(config.pattern_rules,),
                 **common,
             )
         elif step == "transformer_ner":
