@@ -128,6 +128,12 @@ def entry() -> Any:
     return _kg_edges("/root/testdata/sf0.001").to_pandas()
 
 
+def _q_mutation_mentions(sf_dir: str):
+    from kazu_ray.stages.mutation_ner import q_mutation_mentions
+
+    return q_mutation_mentions(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dedup import (
         q_embedding_neardup,
@@ -171,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_eval": _kg_eval,
         "ner_entities": _ner_entities,
+        # SETH-analogue regex mutation NER — SQL oracle runs the identical
+        # RE2-safe pattern via regexp_extract_all (cross-engine parity)
+        "mutation_mentions": _q_mutation_mentions,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
@@ -222,7 +231,10 @@ _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
 
 
 def oracle_sql() -> dict[str, str]:
+    from kazu_ray.stages.mutation_ner import mutation_oracle_sql
+
     return {
+        "mutation_mentions": mutation_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -29,3 +29,4 @@ NS_DICT_NER = "DictionaryNER"
 NS_TRANSFORMER_NER = "TransformerNER"
 NS_ABBREV = "AbbreviationExpansion"
 NS_PATTERN_NER = "PatternNER"
+NS_MUTATION_NER = "MutationNER"

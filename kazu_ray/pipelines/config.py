@@ -23,6 +23,9 @@ STEP_GROUPS: dict[str, tuple[str, ...]] = {
     # mode) — output flows into linking like reference spaCy-NER output
     # flows into DictionaryEntityLinkingStep
     "pattern_ner": ("prefilter", "pattern_ner", "linking", "doc_post"),
+    # mutation NER (SethStep analogue) — gated on gene entities from
+    # dict NER, like reference conf/SethStep/default.yaml's condition
+    "mutation": ("prefilter", "dict_ner", "mutation_ner", "doc_post"),
 }
 
 
@@ -88,6 +91,11 @@ def build(docs_ds, dicts, config: PipelineConfig):
                 fn_constructor_args=(config.pattern_rules,),
                 **common,
             )
+        elif step == "mutation_ner":
+            from ..stages.mutation_ner import MutationNer
+
+            # stateless regex scan — plain task pool, no actor state
+            ds = ds.map_batches(MutationNer(), batch_format="pyarrow")
         elif step == "transformer_ner":
             from ..stages.transformer_ner import TransformerNer
 
