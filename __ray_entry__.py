@@ -134,6 +134,12 @@ def _q_mutation_mentions(sf_dir: str):
     return q_mutation_mentions(sf_dir)
 
 
+def _q_chem_smiles(sf_dir: str):
+    from kazu_ray.stages.opsin import q_chem_smiles
+
+    return q_chem_smiles(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dedup import (
         q_embedding_neardup,
@@ -180,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SETH-analogue regex mutation NER — SQL oracle runs the identical
         # RE2-safe pattern via regexp_extract_all (cross-engine parity)
         "mutation_mentions": _q_mutation_mentions,
+        # OPSIN-analogue IUPAC→SMILES resolution — not SQL-expressible
+        # (graph canonicalization); engine golden-pinned in pytest
+        "chem_smiles": _q_chem_smiles,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,

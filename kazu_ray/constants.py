@@ -30,3 +30,4 @@ NS_TRANSFORMER_NER = "TransformerNER"
 NS_ABBREV = "AbbreviationExpansion"
 NS_PATTERN_NER = "PatternNER"
 NS_MUTATION_NER = "MutationNER"
+NS_OPSIN = "OpsinStep"

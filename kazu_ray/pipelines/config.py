@@ -26,6 +26,9 @@ STEP_GROUPS: dict[str, tuple[str, ...]] = {
     # mutation NER (SethStep analogue) — gated on gene entities from
     # dict NER, like reference conf/SethStep/default.yaml's condition
     "mutation": ("prefilter", "dict_ner", "mutation_ner", "doc_post"),
+    # IUPAC resolution (OpsinStep analogue) — runs after mapping, like
+    # the reference's "${OpsinStep} just after ${MappingStep}" wiring
+    "chem": ("prefilter", "dict_ner", "linking", "doc_post", "opsin"),
 }
 
 
@@ -96,6 +99,11 @@ def build(docs_ds, dicts, config: PipelineConfig):
 
             # stateless regex scan — plain task pool, no actor state
             ds = ds.map_batches(MutationNer(), batch_format="pyarrow")
+        elif step == "opsin":
+            from ..stages.opsin import OpsinStage
+
+            # stateless grammar parse — plain task pool, no actor state
+            ds = ds.map_batches(OpsinStage(), batch_format="pyarrow")
         elif step == "transformer_ner":
             from ..stages.transformer_ner import TransformerNer
 

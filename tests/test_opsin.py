@@ -1,0 +1,260 @@
+"""IUPAC→SMILES engine + OpsinStep-analogue stage.
+
+Reference: kazu/steps/ner/opsin.py:253-380 (OPSIN over py4j + rdkit
+canonicalization; extendString truncation repair at :312-348).  The
+name vectors below are standard nomenclature examples whose structures
+are public knowledge; structural equality is asserted through the
+module's own canonicalizer over BOTH a hand-written SMILES and the
+parsed name — two independent construction paths meeting at one
+canonical string (the same role rdkit's CanonSmiles plays for the
+reference)."""
+
+import pyarrow as pa
+import pytest
+
+from kazu_ray.functions.iupac import (
+    ParseError,
+    canonical_smiles,
+    name_to_mol,
+    name_to_smiles,
+    parse_smiles,
+)
+from kazu_ray.stages.opsin import OpsinStage, extend_string
+
+# (name, hand-written SMILES of the expected structure)
+NAME_VECTORS = [
+    ("methane", "C"),
+    ("hexane", "CCCCCC"),
+    ("tetradecane", "CCCCCCCCCCCCCC"),
+    ("ethanol", "CCO"),
+    ("2-methylbutane", "CCC(C)C"),
+    ("2,2-dimethylpropane", "CC(C)(C)C"),
+    ("propan-2-ol", "CC(O)C"),
+    ("butan-2-one", "CCC(C)=O"),
+    ("but-2-ene", "CC=CC"),
+    ("buta-1,3-diene", "C=CC=C"),
+    ("hexa-2,4-diene", "CC=CC=CC"),
+    ("ethyne", "C#C"),
+    ("cyclohexane", "C1CCCCC1"),
+    ("cyclohexene", "C1=CCCCC1"),
+    ("methylcyclohexane", "CC1CCCCC1"),
+    ("cyclopropane", "C1CC1"),
+    ("benzene", "c1ccccc1"),
+    ("chlorobenzene", "Clc1ccccc1"),
+    ("1,4-dichlorobenzene", "Clc1ccc(Cl)cc1"),
+    ("hexanal", "CCCCCC=O"),
+    ("hexanoic acid", "CCCCCC(=O)O"),
+    ("ethanamine", "CCN"),
+    ("ethanamide", "CC(N)=O"),
+    ("propanenitrile", "CCC#N"),
+    ("ethanethiol", "CCS"),
+    ("2-methoxyethanol", "COCCO"),
+    ("propane-1,2-diol", "CC(O)CO"),
+    ("butane-2,3-dione", "CC(=O)C(C)=O"),
+    ("ethane-1,2-diamine", "NCCN"),
+    ("cyclohexanecarboxylic acid", "OC(=O)C1CCCCC1"),
+    ("cyclohexanecarbaldehyde", "O=CC1CCCCC1"),
+    ("2-chloropropane", "CC(Cl)C"),
+    ("1-bromo-2-chloroethane", "BrCCCl"),
+    ("nitromethane", "C[N+](=O)[O-]"),
+    ("aminomethane", "CN"),
+    ("2-aminoethanol", "NCCO"),
+    ("(1-methylethyl)benzene", "CC(C)c1ccccc1"),  # cumene
+    ("tert-butylbenzene", "CC(C)(C)c1ccccc1"),
+    ("trifluoromethylbenzene", "FC(F)(F)c1ccccc1"),
+    ("2-phenylethanol", "OCCc1ccccc1"),
+    ("4-methylpentan-2-one", "CC(C)CC(C)=O"),  # MIBK
+    ("pent-4-en-1-ol", "OCCCC=C"),
+    ("toluene", "Cc1ccccc1"),
+    ("phenol", "Oc1ccccc1"),
+    ("acetic acid", "CC(=O)O"),
+    ("acetone", "CC(C)=O"),
+    ("urea", "NC(N)=O"),
+]
+
+# pairs of names denoting the SAME structure (locant direction /
+# numbering / old-vs-new locant style / Kekulé placement)
+EQUIVALENT_NAMES = [
+    ("propan-2-ol", "2-propanol"),
+    ("butanone", "butan-2-one"),
+    ("pent-2-ene", "pent-3-ene"),
+    ("1-chloropropane", "3-chloropropane"),
+    ("buta-1,3-diene", "1,3-butadiene"),
+    ("1,2-dichlorobenzene", "2,3-dichlorobenzene"),
+    ("1,3-dichlorobenzene", "1,5-dichlorobenzene"),
+    ("2-(1-methylethyl)butane", "2,3-dimethylpentane"),
+]
+
+UNPARSEABLE = [
+    "1,4:3,6-dianhydro-2,5-di-O-Nitro-D-glucitol",  # reference failure row
+    "xyzane",
+    "hex",           # bare stem
+    "pentanone",     # ambiguous ketone locant
+    "dichlorobenzene",  # multiplied substituent without locants
+    "cyclomethane",  # 1-membered ring
+    "",
+    "not a chemical at all",
+]
+
+
+def test_name_vectors():
+    for name, smiles in NAME_VECTORS:
+        got = name_to_smiles(name)
+        want = canonical_smiles(parse_smiles(smiles))
+        assert got == want, f"{name}: {got} != {want}"
+
+
+def test_equivalent_names_one_canonical_form():
+    for a, b in EQUIVALENT_NAMES:
+        sa, sb = name_to_smiles(a), name_to_smiles(b)
+        assert sa is not None and sa == sb, (a, b, sa, sb)
+
+
+def test_unparseable_names_return_none():
+    for name in UNPARSEABLE:
+        assert name_to_smiles(name) is None, name
+
+
+def test_case_insensitive():
+    assert name_to_smiles("Hexane") == name_to_smiles("hexane")
+    assert name_to_smiles("HEXANOIC ACID") == name_to_smiles("hexanoic acid")
+
+
+def test_canonical_smiles_invariant_under_atom_order():
+    # same structure entered in different atom orders → same canonical
+    for a, b in [
+        ("CCO", "OCC"),
+        ("CC(C)CC", "CCC(C)C"),
+        ("Clc1ccccc1Cl", "c1ccc(Cl)c(Cl)c1"),
+        ("CC(=O)O", "OC(C)=O"),
+        ("C1CCCCC1C", "CC1CCCCC1"),
+    ]:
+        assert canonical_smiles(parse_smiles(a)) == canonical_smiles(
+            parse_smiles(b)
+        ), (a, b)
+
+
+def test_kekule_choice_normalized():
+    # ortho-dichlorobenzene: the two Kekulé assignments differ on whether
+    # the Cl-bearing carbons share a double bond — must canonicalize equal
+    k1 = canonical_smiles(parse_smiles("ClC1=CC=CC=C1Cl"))
+    k2 = canonical_smiles(parse_smiles("ClC=1C=CC=CC1Cl"))
+    assert k1 == k2
+
+
+def test_valence_rejected():
+    with pytest.raises(ParseError):
+        parse_smiles("C(C)(C)(C)(C)C")  # 5-valent carbon
+    assert name_to_mol("1,1,1,1,1-pentachloromethane") is None
+
+
+def test_smiles_roundtrip():
+    for _, smiles in NAME_VECTORS:
+        canon = canonical_smiles(parse_smiles(smiles))
+        assert canonical_smiles(parse_smiles(canon)) == canon, smiles
+
+
+# ------------------------------------------------------------------ stage
+
+def _ent(start, end, match, cls="drug", mappings=()):
+    return {
+        "span_idx": 0,
+        "start": start,
+        "end": end,
+        "match": match,
+        "match_norm": match,
+        "entity_class": cls,
+        "namespace": "TransformerNER",
+        "mention_confidence": 50,
+        "candidates": [],
+        "mappings": list(mappings),
+    }
+
+
+def _doc_batch(text, ents):
+    from kazu_ray.schemas import ENTITIES_COLUMN, SPAN_STRUCT
+
+    return pa.table(
+        {
+            "doc_id": pa.array(["d1"]),
+            "spans": pa.array(
+                [[{"kind": "text", "text": text, "media_ref": "", "offset": 0}]],
+                type=pa.list_(SPAN_STRUCT),
+            ),
+            "entities": pa.array([ents], type=ENTITIES_COLUMN),
+        }
+    )
+
+
+def test_extend_string_reference_semantics():
+    # candidates longest-first; left extension to previous break; right
+    # extension through `spaces` breaks (reference opsin.py:312-348)
+    text = "with 2-chloropropane in hand today"
+    cands = list(extend_string(text, 7, 8, spaces=2))
+    assert cands[0] == ("2-chloropropane in hand", 5, 28)
+    assert cands[-1] == ("2-chloropropane", 5, 20)
+    assert all(
+        len(cands[i][0]) >= len(cands[i + 1][0]) for i in range(len(cands) - 1)
+    )
+
+
+def test_stage_repairs_truncated_entity():
+    text = "the compound propan-2-ol was isolated"
+    # truncated entity: only 'propan' (transformer stops at the hyphen)
+    batch = _doc_batch(text, [_ent(13, 19, "propan")])
+    out = OpsinStage()(batch)
+    ent = out.column("entities").to_pylist()[0][0]
+    assert ent["match"] == "propan-2-ol"
+    assert ent["start"] == 13 and ent["end"] == 24
+    assert ent["mappings"][0]["source"] == "Opsin"
+    assert ent["mappings"][0]["idx"] == name_to_smiles("propan-2-ol")
+    assert ent["mappings"][0]["string_match_confidence"] == "HIGHLY_LIKELY"
+
+
+def test_stage_leaves_mapped_and_other_class_entities_alone():
+    text = "aspirin and propan-2-ol"
+    mapped = _ent(0, 7, "aspirin", mappings=[{
+        "parser_name": "p", "source": "s", "idx": "X:1", "default_label": "l",
+        "string_match_strategy": "m", "string_match_confidence": "HIGHLY_LIKELY",
+        "disambiguation_strategy": "", "disambiguation_confidence": "",
+        "xref_source_parser_name": "",
+    }])
+    gene = _ent(12, 18, "propan", cls="gene")
+    out = OpsinStage()(_doc_batch(text, [mapped, gene]))
+    ents = out.column("entities").to_pylist()[0]
+    assert ents[0]["mappings"][0]["idx"] == "X:1"  # untouched
+    assert ents[1]["mappings"] == []  # wrong class → untouched
+
+
+def test_stage_unparseable_stays_unmapped():
+    text = "the compound xyzane was isolated"
+    out = OpsinStage()(_doc_batch(text, [_ent(13, 16, "xyz")]))
+    ent = out.column("entities").to_pylist()[0][0]
+    assert ent["mappings"] == []
+    assert ent["match"] == "xyz"  # unchanged
+
+
+def test_chem_smiles_query_batch_golden():
+    from kazu_ray.stages.opsin import INJECT_NAMES, _smiles_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(INJECT_NAMES))), type=pa.int64()),
+            "text": pa.array(["doc text here"] * len(INJECT_NAMES)),
+        }
+    )
+    out = _smiles_batch(batch).to_pylist()
+    by_doc = {r["doc_id"]: r for r in out}
+    # every grammar-parseable name resolves; the glucitol row (idx 11) fails
+    assert len(out) == len(INJECT_NAMES) - 1
+    assert 11 not in by_doc
+    assert by_doc[1]["match"] == "propan-2-ol"
+    assert by_doc[1]["smiles"] == name_to_smiles("propan-2-ol")
+    assert by_doc[3]["match"] == "cyclohexanecarboxylic acid"
+    assert by_doc[7]["smiles"] == name_to_smiles("hexanoic acid")
+
+
+def test_chem_step_group_registered():
+    from kazu_ray.pipelines.config import STEP_GROUPS
+
+    assert "opsin" in STEP_GROUPS["chem"]
