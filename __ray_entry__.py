@@ -140,6 +140,12 @@ def _q_chem_smiles(sf_dir: str):
     return q_chem_smiles(sf_dir)
 
 
+def _q_pattern_entities(sf_dir: str):
+    from kazu_ray.stages.pattern_ner import q_pattern_entities
+
+    return q_pattern_entities(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dedup import (
         q_embedding_neardup,
@@ -189,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OPSIN-analogue IUPAC→SMILES resolution — not SQL-expressible
         # (graph canonicalization); engine golden-pinned in pytest
         "chem_smiles": _q_chem_smiles,
+        # SpacyNerStep-analogue token-pattern NER — oracle runs equivalent
+        # RE2 regexes (IN set / bigram / greedy one-or-more quantifier)
+        "pattern_entities": _q_pattern_entities,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
@@ -241,9 +250,11 @@ _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
 
 def oracle_sql() -> dict[str, str]:
     from kazu_ray.stages.mutation_ner import mutation_oracle_sql
+    from kazu_ray.stages.pattern_ner import pattern_oracle_sql
 
     return {
         "mutation_mentions": mutation_oracle_sql(),
+        "pattern_entities": pattern_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -103,3 +103,69 @@ class PatternNer:
         if "entities" in batch.schema.names:
             batch = batch.drop_columns(["entities"])
         return batch.append_column("entities", pa.array(new_col, type=ENTITIES_COLUMN))
+
+
+# ------------------------------------------------------------- query surface
+
+# Rules for the queryable surface, chosen so each is ALSO expressible as
+# an RE2 regex over the space-separated corpus — the DuckDB oracle then
+# checks the token-pattern engine cross-engine (same contract as the
+# mutation NER oracle): single-token IN set, fixed bigram phrase, and a
+# one-or-more quantifier whose longest-match-wins resolution equals
+# greedy regex matching.
+PATTERN_QUERY_RULES: dict[str, list] = {
+    "operation": [[{"LOWER": {"IN": ["sort", "merge", "join"]}}]],
+    "scan_phrase": [[{"LOWER": "table"}, {"LOWER": "scan"}]],
+    "batch_run": [[{"LOWER": "batch", "OP": "+"}]],
+}
+
+_PATTERN_QUERY_SQL = {
+    "operation": r"\b(?:sort|merge|join)\b",
+    "scan_phrase": r"\btable scan\b",
+    "batch_run": r"\bbatch(?: batch)*\b",
+}
+
+_MENTIONS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("entity_class", pa.string()),
+        ("match", pa.string()),
+    ]
+)
+
+
+def _pattern_mentions_batch(batch: pa.Table) -> pa.Table:
+    pipeline = RulePipeline(PATTERN_QUERY_RULES)
+    rows = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        for start, end, cls in pipeline.pipe(text):
+            rows.append(
+                {"doc_id": doc_id, "entity_class": cls, "match": text[start:end]}
+            )
+    return pa.Table.from_pylist(rows, schema=_MENTIONS_SCHEMA)
+
+
+def q_pattern_entities(sf_dir: str):
+    """Flat (doc_id, entity_class, match) mention table over documents —
+    the SpacyNerStep-analogue queryable surface."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_pattern_mentions_batch, batch_format="pyarrow").sort(
+        ["doc_id", "entity_class", "match"]
+    )
+
+
+def pattern_oracle_sql() -> str:
+    selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, '{cls}' AS entity_class,"
+        f" unnest(regexp_extract_all(text, '{rx}')) AS match FROM documents"
+        for cls, rx in _PATTERN_QUERY_SQL.items()
+    )
+    return f"""
+        SELECT doc_id, entity_class, match
+        FROM ({selects})
+        ORDER BY doc_id, entity_class, match
+    """

@@ -151,3 +151,37 @@ def test_custom_pipeline_seam():
 def test_bad_op_raises_at_compile():
     with pytest.raises(ValueError):
         RulePipeline({"x": [[{"LOWER": "a", "OP": "!"}]]})
+
+
+def test_pattern_query_duckdb_parity():
+    """Oracle contract for the pattern_entities query: greedy RE2
+    extraction must equal token-pattern find_spans over word-salad text,
+    including the one-or-more quantifier's longest-match resolution."""
+    import duckdb
+
+    from kazu_ray.stages.pattern_ner import (
+        _PATTERN_QUERY_SQL,
+        PATTERN_QUERY_RULES,
+        RulePipeline,
+    )
+
+    texts = [
+        "the fast sort merge join table scan batch batch batch stream",
+        "table table scan scan batch merge batch batch sort",
+        "no matches in this sentence at all",
+        "batch",
+        "join join table scan table scan batch batch",
+    ]
+    con = duckdb.connect()
+    pipeline = RulePipeline(PATTERN_QUERY_RULES)
+    for text in texts:
+        got_py = sorted(
+            (cls, text[s:e]) for s, e, cls in pipeline.pipe(text)
+        )
+        got_sql = []
+        for cls, rx in _PATTERN_QUERY_SQL.items():
+            rows = con.execute(
+                f"SELECT unnest(regexp_extract_all(?, '{rx}'))", [text]
+            ).fetchall()
+            got_sql.extend((cls, r[0]) for r in rows)
+        assert got_py == sorted(got_sql), text
