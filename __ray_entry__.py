@@ -146,6 +146,18 @@ def _q_pattern_entities(sf_dir: str):
     return q_pattern_entities(sf_dir)
 
 
+def _q_quality_signals(sf_dir: str):
+    from kazu_ray.extras.quality import q_quality_signals
+
+    return q_quality_signals(sf_dir)
+
+
+def _q_quality_filter(sf_dir: str):
+    from kazu_ray.extras.quality import q_quality_filter
+
+    return q_quality_filter(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dedup import (
         q_embedding_neardup,
@@ -198,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SpacyNerStep-analogue token-pattern NER — oracle runs equivalent
         # RE2 regexes (IN set / bigram / greedy one-or-more quantifier)
         "pattern_entities": _q_pattern_entities,
+        # Gopher/C4 quality heuristics — full SQL oracles incl. the
+        # top-n-gram repetition character fractions
+        "quality_signals": _q_quality_signals,
+        "quality_filter": _q_quality_filter,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
@@ -249,12 +265,18 @@ _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
 
 
 def oracle_sql() -> dict[str, str]:
+    from kazu_ray.extras.quality import (
+        quality_filter_oracle_sql,
+        quality_signals_oracle_sql,
+    )
     from kazu_ray.stages.mutation_ner import mutation_oracle_sql
     from kazu_ray.stages.pattern_ner import pattern_oracle_sql
 
     return {
         "mutation_mentions": mutation_oracle_sql(),
         "pattern_entities": pattern_oracle_sql(),
+        "quality_signals": quality_signals_oracle_sql(),
+        "quality_filter": quality_filter_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,128 @@
+"""Gopher/C4 quality heuristics (extras/quality.py).
+
+Scalar-spec vectors are hand-computed from the published definitions
+(Rae et al. 2021 A1.1; Raffel et al. 2020 §2.2); the DuckDB parity test
+pins the oracle contract over adversarial texts (ties in the top-n-gram
+mode, repeated runs, symbol-heavy docs)."""
+
+import duckdb
+import pyarrow as pa
+
+from kazu_ray.extras.quality import (
+    GOPHER_THRESHOLDS,
+    QUERY_THRESHOLDS,
+    quality_filter_batch,
+    quality_filter_oracle_sql,
+    quality_signals_batch,
+    quality_signals_oracle_sql,
+)
+
+
+def _batch(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def _sig(text):
+    return quality_signals_batch(_batch([text])).to_pylist()[0]
+
+
+def test_basic_signals_hand_computed():
+    s = _sig("the cat and the cat sat")
+    # words: the cat and the cat sat -> 6 words, 18 chars (3 each)
+    assert s["n_words"] == 6
+    assert s["mean_word_len"] == 18 / 6
+    assert s["alpha_word_frac"] == 1.0
+    assert s["symbol_ratio"] == 0.0
+    # distinct stopwords present: the, and -> 2
+    assert s["stop_hits"] == 2
+    # bigrams: "the cat"×2, others ×1 -> top2 = 2 * 6 chars / 18
+    assert s["top2gram_frac"] == (2 * 6) / 18
+
+
+def test_symbol_and_alpha_signals():
+    s = _sig("alpha # beta ... 123 456")
+    # words: alpha beta 123 456 -> 4; symbols: one '#', one '...'
+    assert s["n_words"] == 4
+    assert s["symbol_ratio"] == 2 / 4
+    assert s["alpha_word_frac"] == 2 / 4
+
+
+def test_empty_and_tiny_docs():
+    out = quality_signals_batch(_batch(["", "word"])).to_pylist()
+    assert out[0]["n_words"] == 0
+    assert out[0]["top2gram_frac"] == 0.0
+    assert out[1]["n_words"] == 1
+    assert out[1]["top2gram_frac"] == 0.0  # no bigram exists
+
+
+def test_top_ngram_tie_break_deterministic():
+    # "aa bb" and "bb aa" both occur twice; tie broken lexicographically
+    text = "aa bb aa bb aa"
+    s = _sig(text)
+    # bigrams: aa bb (2), bb aa (2); chars each 4; total word chars 10
+    assert s["top2gram_frac"] == (2 * 4) / 10
+
+
+def test_repetitive_doc_fails_filter():
+    spam = "buy now " * 40  # 80 words, top bigram covers everything
+    sig = _sig(spam)
+    assert sig["top2gram_frac"] == 1.0
+    # overlapping trigram occurrences legitimately push the fraction >1
+    assert sig["top3gram_frac"] > 1.0
+    out = quality_filter_batch(_batch([spam])).to_pylist()[0]
+    assert not out["keep"]
+    # rule order: the stopword gate fires before the repetition gates
+    assert out["reason"] == "stopwords"
+    # with the stopword gate disabled the repetition gate catches it
+    out2 = quality_filter_batch(
+        _batch([spam]), {"min_stop_hits": 0, "min_words": 10}
+    ).to_pylist()[0]
+    assert not out2["keep"] and out2["reason"] == "top2gram"
+
+
+def test_good_doc_passes_published_thresholds():
+    text = (
+        "the quick brown fox jumps over that lazy dog while many other "
+        "animals gather near the river to watch events unfold in quiet "
+        "wonder as evening light settles softly over distant wooded hills "
+        "and the water keeps moving past stones that have rested there "
+        "for countless years beyond memory of any living creature nearby"
+    )
+    sig = _sig(text)
+    assert sig["n_words"] >= GOPHER_THRESHOLDS["min_words"]
+    out = quality_filter_batch(_batch([text])).to_pylist()[0]
+    assert out["keep"] and out["reason"] == ""
+
+
+def test_duckdb_parity_adversarial():
+    texts = [
+        "the cat and the cat sat",
+        "aa bb aa bb aa",
+        "buy now " * 40,
+        "alpha # beta ... 123 456",
+        "",
+        "word",
+        "x " * 200,
+        "the and of to is in that " * 10,
+    ]
+    con = duckdb.connect()
+    con.register("documents", _batch(texts))
+    for sql, fn, thresholds in [
+        (quality_signals_oracle_sql(), quality_signals_batch, None),
+        (quality_filter_oracle_sql(), quality_filter_batch, QUERY_THRESHOLDS),
+    ]:
+        want = con.execute(sql).fetchdf()
+        got = (
+            (fn(_batch(texts), thresholds) if thresholds else fn(_batch(texts)))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        import pandas.testing as pt
+
+        pt.assert_frame_equal(got, want, check_dtype=False)
