@@ -110,7 +110,11 @@ def run_bench() -> dict:
                  "token_topk", "exact_dedup", "minhash_candidates",
                  "simhash", "neardup_components", "ann_topk", "ivf_topk",
                  "embedding_neardup", "doc_token_stats",
-                 "events_sessions", "asof_join"):
+                 "events_sessions", "asof_join",
+                 # round-3 additions: regex mutation NER, token-pattern
+                 # NER, IUPAC resolution, Gopher quality battery
+                 "mutation_mentions", "pattern_entities", "chem_smiles",
+                 "quality_signals", "quality_filter"):
         try:
             queries[name] = _timed(lambda n=name: q[n](SF_DIR).count())
         except Exception as exc:  # record, don't die

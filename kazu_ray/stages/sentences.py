@@ -7,10 +7,13 @@ a vectorizable regex sentencizer producing a ``sent_spans`` column:
 ``list<list<struct<span_idx:int32, start:int32, end:int32>>>`` per doc.
 
 The genia-trained Stanza model is not available here; the rule-based
-splitter covers the biomedical-abstract shapes the pipeline consumes
-(sentence break after . ! ? followed by whitespace + capital/digit,
-not after single-uppercase-letter abbreviations like "Haemophilia A.").
-A model-backed splitter would slot into the same actor-pool stage.
+splitter covers the biomedical-abstract shapes the pipeline consumes:
+sentence break after . ! ? followed by whitespace + capital/digit,
+suppressed after common scholarly/biomedical abbreviations ("Fig.",
+"et al.", "i.e.", "ca.", "vs.", …) and after single-uppercase initials
+("J. Smith"; species shorthand "E. coli" never matches the boundary
+because the next word is lowercase).  A model-backed splitter would
+slot into the same actor-pool stage.
 """
 
 from __future__ import annotations
@@ -27,11 +30,38 @@ SENT_STRUCT = pa.struct(
 # uppercase letter, digit or opening bracket
 _BOUNDARY = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9(\"])")
 
+# words whose trailing period is (almost) never a sentence end in
+# scholarly/biomedical prose — checked lowercased, period stripped
+_ABBREVIATIONS = frozenset(
+    "fig figs al e.g i.e cf vs ca approx no nos st dr prof mr mrs ms "
+    "ref refs eq eqs sec ch vol pp resp spp subsp var min max ed eds "
+    "inc ltd".split()
+)
+
+# the word immediately before a candidate boundary, e.g. 'al.' or 'J.'
+_PRECEDING_WORD = re.compile(r"(\S+)$")
+
+
+def _is_abbreviation_end(prefix: str) -> bool:
+    m = _PRECEDING_WORD.search(prefix)
+    if not m:
+        return False
+    word = m.group(1).lstrip("([{\"'")
+    bare = word[:-1] if word.endswith(".") else word
+    if bare.lower().rstrip(".") in _ABBREVIATIONS or bare.lower() in _ABBREVIATIONS:
+        return True
+    # single uppercase initial: 'J. Smith' (start-of-text or after space)
+    if len(bare) == 1 and bare.isupper() and word.endswith("."):
+        return True
+    return False
+
 
 def sentence_spans(text: str) -> list[tuple[int, int]]:
     out = []
     start = 0
     for m in _BOUNDARY.finditer(text):
+        if _is_abbreviation_end(text[: m.start()]):
+            continue
         end = m.start()
         if end > start:
             out.append((start, end))

@@ -65,3 +65,37 @@ def test_dead_letter(ray_session):
     dl = dead_letter(docs).take_all()
     assert [r["doc_id"] for r in dl] == ["big"]
     assert "too long" in dl[0]["error"]
+
+
+def test_sentence_abbreviations_not_split():
+    # scholarly/biomedical abbreviations followed by capitals must not
+    # break the sentence (GENIA-style behaviour the rule splitter targets)
+    cases = [
+        "Results in Fig. 2 were clear.",
+        "Smith et al. Showed the same effect.",
+        "The dose was ca. 100 mg daily.",
+        "Expression differs vs. Control samples.",
+        "See ref. 12 for details.",
+        "Group sizes (no. 5 and no. 6) matched.",
+    ]
+    for text in cases:
+        assert len(sentence_spans(text)) == 1, text
+
+
+def test_sentence_initials_not_split():
+    text = "J. Smith and R. Jones reviewed the cohort."
+    assert len(sentence_spans(text)) == 1
+    # species shorthand never matches the boundary (lowercase follows)
+    text2 = "E. coli grows on agar. B. subtilis does too."
+    assert [t.split()[0] for t in
+            [text2[s:e] for s, e in sentence_spans(text2)]] == ["E.", "B."]
+
+
+def test_sentence_abbreviation_mid_document():
+    text = "We follow Smith et al. Reported values differ. New assay used."
+    spans = sentence_spans(text)
+    # the et al. boundary is suppressed; the genuine one after 'differ.' is kept
+    assert [text[s:e] for s, e in spans] == [
+        "We follow Smith et al. Reported values differ.",
+        "New assay used.",
+    ]
