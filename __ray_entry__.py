@@ -146,6 +146,12 @@ def _q_pattern_entities(sf_dir: str):
     return q_pattern_entities(sf_dir)
 
 
+def _q_dup_passages(sf_dir: str):
+    from kazu_ray.extras.passages import q_dup_passages
+
+    return q_dup_passages(sf_dir)
+
+
 def _q_quality_signals(sf_dir: str):
     from kazu_ray.extras.quality import q_quality_signals
 
@@ -214,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-n-gram repetition character fractions
         "quality_signals": _q_quality_signals,
         "quality_filter": _q_quality_filter,
+        # cross-doc duplicated-passage fractions (Lee et al. 2022 style
+        # substring dedup via k-gram exchange)
+        "dup_passages": _q_dup_passages,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
@@ -265,6 +274,7 @@ _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
 
 
 def oracle_sql() -> dict[str, str]:
+    from kazu_ray.extras.passages import dup_passages_oracle_sql
     from kazu_ray.extras.quality import (
         quality_filter_oracle_sql,
         quality_signals_oracle_sql,
@@ -277,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_entities": pattern_oracle_sql(),
         "quality_signals": quality_signals_oracle_sql(),
         "quality_filter": quality_filter_oracle_sql(),
+        "dup_passages": dup_passages_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,164 @@
+"""Cross-document duplicated-passage detection (exact substring dedup).
+
+The substring-level counterpart to document-level dedup (extras/
+dedup.py), after Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better"): find word k-gram passages that occur in more
+than one document and score each document by the fraction of its
+distinct passages that are duplicated elsewhere in the corpus.  Lee et
+al. build a corpus suffix array; the Ray-native equivalent here is the
+k-gram exchange — equivalent detection power for fixed-length windows,
+and embarrassingly partitionable.
+
+Two shuffles, both vectorized:
+
+1. ``map_batches`` → per-doc DISTINCT k-grams (polars shift/concat —
+   the same window construction as extras/quality.py),
+2. coarse-partition exchange on ``hash(gram) % P`` (the minhash band
+   pattern, extras/dedup.py) — every copy of a gram lands in one
+   partition, where ONE vectorized polars group_by counts documents
+   per gram and emits (doc_id, is_dup) rows; no per-gram python groups,
+   and no hash-collision risk since the in-partition key is the string,
+3. ``groupby(doc_id)`` sum/count → per-doc totals, one IEEE division.
+
+At 100 TB the gram exchange is the dominant cost; it is a single
+all-to-all of (doc_id, gram-hash-bucketed) rows with per-partition size
+controlled by P (``shuffle_partitions`` sizes it to the input), and the
+within-doc DISTINCT pass upstream removes the worst self-repetition
+blowup before anything crosses the network.
+
+Docs with fewer than k words carry no passage and are excluded on both
+engines (the SQL oracle mirrors this with ``len(ws) >= k``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..context import input_bytes, shuffle_partitions
+
+_WORD_RE = r"[a-z0-9]+"
+DEFAULT_K = 5
+
+PASSAGE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_dup", pa.int64()),
+        ("dup_frac", pa.float64()),
+    ]
+)
+
+
+def _doc_grams_batch(batch: pa.Table, k: int, nparts: int) -> pa.Table:
+    """(doc_id, gram, part): distinct word k-grams per document, with
+    the coarse exchange partition precomputed."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        ws=pl.col("text").str.extract_all(_WORD_RE)
+    )
+    parts = [pl.col("ws")]
+    # build grams on the exploded word frame via per-doc window shifts
+    words = df.select("doc_id", "ws").explode("ws").rename({"ws": "word"})
+    gram_parts = [pl.col("word")]
+    for j in range(1, k):
+        gram_parts.extend([pl.lit(" "), pl.col("word").shift(-j).over("doc_id")])
+    out = (
+        words.with_columns(gram=pl.concat_str(gram_parts))
+        .drop_nulls("gram")
+        .select("doc_id", "gram")
+        .unique()
+        .with_columns(
+            part=(pl.col("gram").hash(seed=7) % nparts).cast(pl.Int64)
+        )
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [("doc_id", pa.int64()), ("gram", pa.string()), ("part", pa.int64())]
+        )
+    )
+
+
+def _mark_dups_in_partition(group) -> "object":
+    """Vectorized within one coarse partition: per-gram doc count →
+    (doc_id, is_dup) rows.  The partition holds every copy of each of
+    its grams, so counts are exact."""
+    import polars as pl
+
+    df = pl.from_pandas(group[["doc_id", "gram"]])
+    marked = df.with_columns(
+        is_dup=(pl.col("gram").count().over("gram") >= 2).cast(pl.Int64)
+    ).select("doc_id", "is_dup")
+    return marked.to_pandas()
+
+
+def duplicated_passages(docs_ds, k: int = DEFAULT_K, num_partitions: int | None = None):
+    """Per-doc duplicated-passage stats dataset (PASSAGE_SCHEMA)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    nparts = num_partitions or shuffle_partitions()
+    grams = docs_ds.map_batches(
+        lambda b: _doc_grams_batch(b, k, nparts), batch_format="pyarrow"
+    )
+    marked = grams.groupby("part").map_groups(
+        _mark_dups_in_partition, batch_format="pandas"
+    )
+    per_doc = marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_grams"), Sum("is_dup", alias_name="n_dup")
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n_grams = pc.cast(b.column("n_grams"), pa.int64())
+        n_dup = pc.cast(b.column("n_dup"), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_id"), pa.int64()),
+                n_grams,
+                n_dup,
+                pc.divide(
+                    pc.cast(n_dup, pa.float64()), pc.cast(n_grams, pa.float64())
+                ),
+            ],
+            schema=PASSAGE_SCHEMA,
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_dup_passages(sf_dir: str, k: int = DEFAULT_K):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicated_passages(
+        ds,
+        k=k,
+        num_partitions=shuffle_partitions(
+            estimated_bytes=input_bytes(f"{sf_dir}/documents.parquet") * 8
+        ),
+    ).sort("doc_id")
+
+
+def dup_passages_oracle_sql(k: int = DEFAULT_K) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(len(ws) - {k - 1}, 0)),
+              i -> array_to_string(ws[i:i+{k - 1}], ' '))) AS gram
+          FROM w WHERE len(ws) >= {k}
+        ),
+        c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (c.cnt >= 2) AS BIGINT) AS n_dup,
+               CAST(COUNT(*) FILTER (c.cnt >= 2) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        FROM g JOIN c USING (gram)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """
