@@ -99,6 +99,51 @@ def make_gif(width: int, height: int, seed: int = 0) -> bytes:
     return b"GIF89a" + screen + palette + img_desc + data + b"\x3b"
 
 
+def make_wav(
+    sample_rate: int, channels: int, n_samples: int, seed: int = 0
+) -> bytes:
+    """A minimal VALID PCM WAV (RIFF header + fmt chunk + data chunk,
+    16-bit samples) — the audio counterpart of make_png."""
+    rng = np.random.default_rng(seed)
+    bits = 16
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    payload = rng.bytes(n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_audio_header(data: bytes) -> tuple[str, int, int, int] | None:
+    """(format, sample_rate, channels, duration_ms) from a real RIFF/WAV
+    header — chunk walk over fmt/data, pure stdlib; None for non-WAV."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE" or len(data) < 12:
+        return None
+    i = 12
+    sample_rate = channels = block_align = None
+    data_len = None
+    while i + 8 <= len(data):
+        tag = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if tag == b"fmt " and size >= 16:
+            _, channels, sample_rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", data[i + 8 : i + 24]
+            )
+        elif tag == b"data":
+            data_len = size
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if not sample_rate or not block_align or data_len is None:
+        return None
+    n_samples = data_len // block_align
+    return ("wav", sample_rate, channels, n_samples * 1000 // sample_rate)
+
+
 def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) from real container headers — PNG IHDR,
     JPEG SOF0/1/2 markers, GIF logical screen descriptor.  Pure stdlib;
@@ -162,6 +207,11 @@ class FakeDecoder:
         if kind == "video":
             n_frames = 8 + int(rng.integers(0, 25))
             return rng.bytes(FRAME_BYTES * n_frames)
+        if kind == "audio":
+            rate = (8000, 16000, 44100)[seed % 3]
+            channels = 1 + int(rng.integers(0, 2))
+            n_samples = rate // 100 * (1 + int(rng.integers(0, 50)))
+            return make_wav(rate, channels, n_samples, seed=seed)
         return rng.bytes(256)
 
 
@@ -212,6 +262,9 @@ MEDIA_METADATA_SCHEMA = pa.schema(
         ("format", pa.string()),
         ("width", pa.int32()),
         ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("channels", pa.int32()),
+        ("duration_ms", pa.int32()),
         ("n_bytes", pa.int64()),
     ]
 )
@@ -219,8 +272,9 @@ MEDIA_METADATA_SCHEMA = pa.schema(
 
 class MediaMetadataExtractor:
     """Actor-pool UDF: media spans -> typed metadata rows via REAL
-    container-header parsing (parse_image_header); non-image payloads
-    get format='' and -1 dims but keep their byte size."""
+    container-header parsing (parse_image_header for PNG/JPEG/GIF,
+    parse_audio_header for RIFF/WAV); unknown payloads get format=''
+    and -1 fields but keep their byte size."""
 
     def __init__(self, decoder: str = "fake"):
         self.decoder = FakeDecoder() if decoder == "fake" else RealDecoder()
@@ -234,14 +288,18 @@ class MediaMetadataExtractor:
                 if not sp["media_ref"]:
                     continue
                 payload = self.decoder.decode(sp["media_ref"], sp["kind"])
-                hdr = parse_image_header(payload)
+                img = parse_image_header(payload)
+                aud = None if img else parse_audio_header(payload)
                 cols["doc_id"].append(doc_id)
                 cols["span_idx"].append(i)
                 cols["kind"].append(sp["kind"])
                 cols["media_ref"].append(sp["media_ref"])
-                cols["format"].append(hdr[0] if hdr else "")
-                cols["width"].append(hdr[1] if hdr else -1)
-                cols["height"].append(hdr[2] if hdr else -1)
+                cols["format"].append(img[0] if img else aud[0] if aud else "")
+                cols["width"].append(img[1] if img else -1)
+                cols["height"].append(img[2] if img else -1)
+                cols["sample_rate"].append(aud[1] if aud else -1)
+                cols["channels"].append(aud[2] if aud else -1)
+                cols["duration_ms"].append(aud[3] if aud else -1)
                 cols["n_bytes"].append(len(payload))
         return pa.Table.from_pydict(cols, schema=MEDIA_METADATA_SCHEMA)
 
@@ -312,6 +370,7 @@ def q_media_metadata(sf_dir: str):
             Count(alias_name="n_media"),
             Mean("width", alias_name="avg_width"),
             Mean("height", alias_name="avg_height"),
+            Mean("duration_ms", alias_name="avg_duration_ms"),
         )
         .sort(["kind", "format"])
     )

@@ -62,6 +62,13 @@ def test_fake_decoder_kinds():
     assert fmts == {"png", "jpeg", "gif"}
     vid = d.decode("media://1/3", "video")
     assert len(vid) % FRAME_BYTES == 0 and len(vid) >= 8 * FRAME_BYTES
+    # audio refs yield valid RIFF/WAV
+    from kazu_ray.extras.multimodal import parse_audio_header
+
+    aud = d.decode("media://1/4", "audio")
+    fmt, rate, channels, dur = parse_audio_header(aud)
+    assert fmt == "wav" and rate in (8000, 16000, 44100)
+    assert channels in (1, 2) and dur > 0
     # determinism
     assert d.decode("media://1/2", "image") == img
 
@@ -76,8 +83,12 @@ def test_media_metadata_query(ray_session):
     for fmt in img_formats:
         img = by_kind[("image", fmt)]
         assert img["n_media"] > 0 and 16 <= img["avg_width"] <= 128
-    # non-image kinds parse to no format
-    assert all(k[1] == "" for k in by_kind if k[0] != "image")
+    # audio kinds parse to RIFF/WAV with a real mean duration
+    audio_formats = {k[1] for k in by_kind if k[0] == "audio"}
+    assert audio_formats == {"wav"}
+    assert by_kind[("audio", "wav")]["avg_duration_ms"] > 0
+    # video/blob kinds parse to no format
+    assert all(k[1] == "" for k in by_kind if k[0] not in ("image", "audio"))
 
 
 def test_video_frames_query(ray_session):
@@ -87,3 +98,17 @@ def test_video_frames_query(ray_session):
     assert rows
     # stride 4 over 8..32 frames -> 2..8 sampled
     assert all(2 <= r["n_frames"] <= 8 for r in rows)
+
+
+def test_make_wav_round_trip():
+    from kazu_ray.extras.multimodal import make_wav, parse_audio_header
+
+    data = make_wav(16000, 2, 16000, seed=3)  # exactly 1 s stereo
+    fmt, rate, channels, dur = parse_audio_header(data)
+    assert (fmt, rate, channels, dur) == ("wav", 16000, 2, 1000)
+    # odd-sized chunk alignment and trailing chunks don't break the walk
+    data2 = make_wav(8000, 1, 4000) + b"LIST" + (5).to_bytes(4, "little") + b"xxxxx"
+    assert parse_audio_header(data2) == ("wav", 8000, 1, 500)
+    # non-WAV rejected
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert parse_audio_header(b"\x00" * 40) is None
