@@ -175,9 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.cluster import q_neardup_components
     from kazu_ray.extras.windows import q_asof_join, q_events_sessions
     from kazu_ray.extras.multimodal import q_media_features, q_media_metadata, q_video_frames
-    from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk
+    from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk, q_lsh_topk
     from kazu_ray.extras.metrics import (
         q_ivf_recall,
+        q_lsh_recall,
         q_minhash_recall,
         q_neardup_cc_equivalence,
         q_sessions_equivalence,
@@ -255,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
+        "lsh_topk": q_lsh_topk,  # rows-only; recall gate in lsh_recall
         # --- multimodal plumbing (rows-only; decode is stubbed)
         "media_features": q_media_features,
         "media_metadata": q_media_metadata,  # real header parse over synthetic PNGs
@@ -265,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transformer_eval": _transformer_eval,
         "minhash_recall": q_minhash_recall,
         "ivf_recall": q_ivf_recall,
+        "lsh_recall": q_lsh_recall,
         "sessions_equivalence": q_sessions_equivalence,
         "neardup_cc_equivalence": q_neardup_cc_equivalence,
     }

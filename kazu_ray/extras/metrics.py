@@ -88,6 +88,34 @@ def q_ivf_recall(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall of the zero-shuffle LSH-bucketed ANN path vs exact
+    brute-force cosine top-k (same gate shape as q_ivf_recall)."""
+    from .similarity import q_ann_topk, q_lsh_topk
+
+    exact_rows = q_ann_topk(sf_dir).take_all()
+    lsh_rows = q_lsh_topk(sf_dir).take_all()
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_rows}
+    got = {(r["query_id"], r["vec_id"]) for r in lsh_rows}
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact_rows}
+    max_err = 0.0
+    for r in lsh_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            max_err = max(max_err, abs(r["cosine"] - exact_scores[key]))
+    tp = len(exact & got)
+    return pd.DataFrame(
+        {
+            "recall": [round(tp / max(1, len(exact)), 6)],
+            "n_exact": [len(exact)],
+            "n_lsh": [len(got)],
+            "max_cosine_err": [max_err],
+            "gate": [0.9],
+            "passes": [bool(len(exact) and tp / len(exact) >= 0.9 and max_err < 1e-9)],
+        }
+    )
+
+
 def q_sessions_equivalence(sf_dir: str) -> pd.DataFrame:
     """Exact row-set equality of whale-safe bucketed sessionization vs
     the simple per-user-group path on the full events table."""

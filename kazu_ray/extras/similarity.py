@@ -330,3 +330,92 @@ def q_ivf_topk(
         )
 
     return _merge_topk(ds.map_batches(partial, batch_format="pyarrow", batch_size=2048), k)
+
+
+# ----------------------------------------------------------------- LSH ANN
+
+def _lsh_planes(dim: int, n_bits: int, n_tables: int, seed: int = 11) -> np.ndarray:
+    """(n_tables, n_bits, dim) random hyperplanes (Charikar 2002 random
+    projection LSH for cosine similarity)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_vectors, n_tables) integer bucket signatures."""
+    n_tables, n_bits, _ = planes.shape
+    sigs = np.empty((len(mat), n_tables), dtype=np.int64)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    for t in range(n_tables):
+        bits = (mat @ planes[t].T) > 0  # (n, n_bits)
+        sigs[:, t] = bits.astype(np.int64) @ weights
+    return sigs
+
+
+def q_lsh_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 24,
+):
+    """LSH-bucketed approximate top-k: the alternative scale path to IVF.
+
+    Zero-shuffle design: the per-table query signature sets are tiny
+    (n_queries x n_tables ints) and broadcast with the query matrix, so
+    bucket matching is a per-batch FILTER, not a join — each batch
+    computes its vectors' signatures (n_tables small matmuls against the
+    broadcast plane tensor), keeps only rows colliding with >=1 query in
+    >=1 table, and runs exact cosine + partial top-k on that subset.  At
+    100 TB compute scales with the collision rate (tunable via
+    n_bits/n_tables), the exchange stays the same bounded partial-top-k
+    merge as brute force, and nothing is staged to disk (contrast
+    q_ivf_topk, which pays a one-time partitioned-staging write to make
+    REPEATED querying cheap — LSH here is the ad-hoc single-pass path).
+
+    Recall >= 0.9 vs the exact oracle is pinned in
+    tests/test_similarity_scale.py.
+    """
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    planes = _lsh_planes(q_mat.shape[1], n_bits, n_tables)
+    q_sigs = _signatures(q_mat, planes)  # (nq, n_tables)
+    # per-table signature sets for O(1) collision checks
+    q_sig_sets = [set(q_sigs[:, t].tolist()) for t in range(n_tables)]
+    q_ref = ray.put((q_ids, q_mat, planes, q_sig_sets))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qi, qm, pl, sig_sets = ray.get(q_ref)
+        cand_ids, cand = _batch_matrix(t)
+        sigs = _signatures(cand, pl)
+        hit = np.zeros(len(cand), dtype=bool)
+        for tab, sset in enumerate(sig_sets):
+            if sset:
+                hit |= np.isin(sigs[:, tab], np.fromiter(sset, dtype=np.int64))
+        cand_ids, cand = cand_ids[hit], cand[hit]
+        out_q, out_v, out_s = [], [], []
+        if len(cand):
+            sims = qm @ cand.T
+            for row in range(len(qi)):
+                s = sims[row]
+                take = min(k + 1, len(s))
+                idxs = np.argpartition(-s, take - 1)[:take]
+                idxs = idxs[np.argsort(-s[idxs])]
+                for j in idxs:
+                    if cand_ids[j] != qi[row]:
+                        out_q.append(qi[row])
+                        out_v.append(cand_ids[j])
+                        out_s.append(s[j])
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    return _merge_topk(ds.map_batches(partial, batch_format="pyarrow", batch_size=2048), k)

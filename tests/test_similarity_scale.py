@@ -75,3 +75,37 @@ def test_embedding_neardup_routes_by_size(ray_session):
     exact = q_embedding_neardup(SF).take_all()
     assert _pairset(routed, "vec_a", "vec_b") <= _pairset(exact, "vec_a", "vec_b")
     assert len(routed) >= 0.9 * len(exact)
+
+
+def test_lsh_recall_vs_ann(ray_session, ann_exact):
+    from kazu_ray.extras.similarity import q_lsh_topk
+
+    lsh = q_lsh_topk(SF).take_all()
+    exact = _pairset(ann_exact, "query_id", "vec_id")
+    got = _pairset(lsh, "query_id", "vec_id")
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} < 0.9"
+    # recovered pairs carry exact cosines (LSH only candidate-filters)
+    ann_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in ann_exact}
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        if key in ann_scores:
+            assert abs(r["cosine"] - ann_scores[key]) < 1e-9
+
+
+def test_lsh_collision_filter_actually_prunes(ray_session):
+    """With one table and many bits, most of the corpus must be pruned
+    before the exact cosine pass (the point of the scale path) while
+    the returned rows stay a valid per-query top-k subset."""
+    from kazu_ray.extras.similarity import q_lsh_topk
+
+    rows = q_lsh_topk(SF, n_bits=12, n_tables=1).take_all()
+    # every query returns at most k rows and scores are sorted desc
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r["cosine"])
+    for scores in per_q.values():
+        assert len(scores) <= 5
+        assert scores == sorted(scores, reverse=True)
