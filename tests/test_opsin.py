@@ -258,3 +258,56 @@ def test_chem_step_group_registered():
     from kazu_ray.pipelines.config import STEP_GROUPS
 
     assert "opsin" in STEP_GROUPS["chem"]
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st
+
+_STEM_NAMES = ["prop", "but", "pent", "hex", "hept", "oct", "non", "dec"]
+_STEM_LEN = {"prop": 3, "but": 4, "pent": 5, "hex": 6, "hept": 7, "oct": 8,
+             "non": 9, "dec": 10}
+_SUBS = ["chloro", "bromo", "fluoro", "methyl", "hydroxy", "amino"]
+
+
+@st.composite
+def substituted_alkane(draw):
+    stem = draw(st.sampled_from(_STEM_NAMES))
+    n = _STEM_LEN[stem]
+    n_subs = draw(st.integers(1, 3))
+    pairs = [
+        (draw(st.integers(1, n)), draw(st.sampled_from(_SUBS)))
+        for _ in range(n_subs)
+    ]
+    return stem, n, sorted(pairs)
+
+
+def _compose(stem, pairs):
+    prefix = "-".join(f"{p}-{s}" for p, s in pairs)
+    return f"{prefix}{stem}ane"
+
+
+@settings(max_examples=60, deadline=None)
+@given(substituted_alkane())
+def test_locant_mirror_invariance(case):
+    """Numbering a chain from either end denotes the same molecule, so
+    position p and n+1-p substituent placements must canonicalize
+    identically (the core promise the CANGEN layer provides)."""
+    stem, n, pairs = case
+    a = _compose(stem, sorted(pairs))
+    mirrored = sorted((n + 1 - p, s) for p, s in pairs)
+    b = _compose(stem, mirrored)
+    sa, sb = name_to_smiles(a), name_to_smiles(b)
+    # geminal over-substitution can exceed valence -> both must agree on None
+    assert sa == sb, (a, b, sa, sb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(substituted_alkane())
+def test_parse_never_emits_invalid_molecule(case):
+    """Whatever the generator produces, a non-None result must survive
+    a reparse of its own SMILES (valence-valid, round-trippable)."""
+    stem, n, pairs = case
+    smiles = name_to_smiles(_compose(stem, pairs))
+    if smiles is not None:
+        assert canonical_smiles(parse_smiles(smiles)) == smiles
