@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_sessions_equivalence,
     )
     from kazu_ray.extras.text_analysis import (
+        q_bpe_token_count,
         q_doc_fingerprint,
         q_doc_token_stats,
         q_langid_counts,
@@ -224,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc duplicated-passage fractions (Lee et al. 2022 style
         # substring dedup via k-gram exchange)
         "dup_passages": _q_dup_passages,
+        # BPE pre-tokenizer piece counting (training-token budgeting)
+        "bpe_token_count": q_bpe_token_count,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
@@ -278,6 +281,7 @@ _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
 
 def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.passages import dup_passages_oracle_sql
+    from kazu_ray.extras.text_analysis import bpe_token_count_oracle_sql
     from kazu_ray.extras.quality import (
         quality_filter_oracle_sql,
         quality_signals_oracle_sql,
@@ -291,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": quality_signals_oracle_sql(),
         "quality_filter": quality_filter_oracle_sql(),
         "dup_passages": dup_passages_oracle_sql(),
+        "bpe_token_count": bpe_token_count_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

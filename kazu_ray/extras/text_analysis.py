@@ -137,3 +137,47 @@ def q_token_topk(sf_dir: str, k: int = 20):
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+# GPT-2-style BPE pre-tokenization, simplified to the RE2-safe subset
+# (no unicode property classes, no trailing-space lookahead) so the
+# IDENTICAL pattern drives Python re and the DuckDB oracle.  Counts the
+# pre-tokenizer pieces a byte-level BPE would split on — the standard
+# "token count" a training-data pipeline budgets by.
+BPE_PRETOKEN_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+_BPE_RE = re.compile(BPE_PRETOKEN_REGEX)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens (pre-tokenizer piece count)."""
+    counts = [
+        len(_BPE_RE.findall(t)) for t in batch.column("text").to_pylist()
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def q_bpe_token_count(sf_dir: str):
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bpe_token_count_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def bpe_token_count_oracle_sql() -> str:
+    rx = BPE_PRETOKEN_REGEX.replace("'", "''")  # SQL string-literal escape
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{rx}'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """

@@ -1,0 +1,32 @@
+
+
+def test_bpe_pretoken_count_parity_and_spec():
+    """The RE2-safe GPT-2-ish pre-tokenizer: identical counts from
+    Python re and DuckDB, and hand-checked splits."""
+    import duckdb
+    import pyarrow as pa
+
+    from kazu_ray.extras.text_analysis import (
+        _BPE_RE,
+        bpe_token_count_batch,
+        bpe_token_count_oracle_sql,
+    )
+
+    # hand-checked: ["it", "'s", " a", " test", "!", " 42", "%"]
+    assert _BPE_RE.findall("it's a test! 42%") == [
+        "it", "'s", " a", " test", "!", " 42", "%",
+    ]
+    texts = ["it's John's 3rd run-through... \"quoted!\"", "", "  x  ", "a1b2"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    got = bpe_token_count_batch(t).to_pandas()
+    want = con.execute(bpe_token_count_oracle_sql()).fetchdf()
+    import pandas.testing as pt
+
+    pt.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), want, check_dtype=False
+    )
