@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_simhash,
     )
     from kazu_ray.extras.cluster import q_neardup_components
-    from kazu_ray.extras.windows import q_asof_join, q_events_sessions
+    from kazu_ray.extras.windows import q_asof_join, q_events_sessions, q_range_join
     from kazu_ray.extras.multimodal import q_media_features, q_media_metadata, q_video_frames
     from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk, q_lsh_topk
     from kazu_ray.extras.metrics import (
@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, bucket_us=6 * 3600 * 1_000_000
         ),
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "distinct_flags": q_distinct_flags,
         "region_customer_counts": q_region_customer_counts,
         "customer_order_join": q_customer_order_join,
@@ -364,6 +365,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.user_id, purchase_id
+        """,
+        "range_join": """
+            SELECT e.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
+            FROM events e
+            LEFT JOIN events b
+              ON b.ts BETWEEN e.ts - INTERVAL 60 SECOND
+                          AND e.ts + INTERVAL 60 SECOND
+             AND b.event_id != e.event_id
+            WHERE e.event_type = 'error'
+            GROUP BY e.event_id ORDER BY e.event_id
         """,
         "region_customer_counts": """
             SELECT r.r_name AS region_name, COUNT(*) AS n_customers

@@ -195,3 +195,87 @@ def q_asof_join(sf_dir: str):
         .map_groups(asof, batch_format="pandas")
         .sort(["user_id", "purchase_id"])
     )
+
+
+def q_range_join(sf_dir: str, window_s: int = 60):
+    """Range (interval) join: for each 'error' event, count ALL events
+    of any user within ±window_s seconds — the time-proximity join the
+    as-of join cannot express (matches are a range, not a single prior
+    row), and a cross-user one, so the per-user partitioning trick does
+    not apply.
+
+    Ray-native interval-bucketing: bucket width = 2×window; every probe
+    (error) lives in its own bucket, every build row is replicated to
+    its bucket ±1, so a probe's full ±window range is guaranteed present
+    in its bucket's group.  One groupby(bucket) exchange (3× build
+    amplification, constant), then a vectorized searchsorted count per
+    partition — no quadratic pairing anywhere.  At 100 TB the bucket
+    key is time, so partitions are naturally balanced unless event time
+    itself is skewed; the bucket width parameter is the knob (same
+    partitioning-assumption note as the sessionizer).
+
+    Oracle: DuckDB interval self-join (IEJoin), LEFT JOIN so errors with
+    no neighbours keep count 0.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    w_us = window_s * 1_000_000
+    bucket_us = 2 * w_us
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        etype = batch.column("event_type").to_pylist()
+        b = ts // bucket_us
+        out_bucket, out_role, out_eid, out_ts = [], [], [], []
+        is_probe = np.array([t == "error" for t in etype])
+        # probes: own bucket only
+        out_bucket.extend(b[is_probe].tolist())
+        out_role.extend([1] * int(is_probe.sum()))
+        out_eid.extend(eid[is_probe].tolist())
+        out_ts.extend(ts[is_probe].tolist())
+        # builds (all events): replicated to bucket -1/0/+1
+        for d in (-1, 0, 1):
+            out_bucket.extend((b + d).tolist())
+            out_role.extend([0] * len(b))
+            out_eid.extend(eid.tolist())
+            out_ts.extend(ts.tolist())
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(out_bucket, type=pa.int64()),
+                "role": pa.array(out_role, type=pa.int8()),
+                "event_id": pa.array(out_eid, type=pa.int64()),
+                "ts_us": pa.array(out_ts, type=pa.int64()),
+            }
+        )
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g["role"] == 1]
+        if probes.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "n_nearby": pd.Series(dtype="int64")}
+            )
+        builds = np.sort(g.loc[g["role"] == 0, "ts_us"].to_numpy())
+        t = probes["ts_us"].to_numpy()
+        n = (
+            np.searchsorted(builds, t + w_us, side="right")
+            - np.searchsorted(builds, t - w_us, side="left")
+            - 1  # builds include the probe event itself
+        )
+        return pd.DataFrame(
+            {"event_id": probes["event_id"].to_numpy(), "n_nearby": n}
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .sort("event_id")
+    )

@@ -90,3 +90,46 @@ def test_auto_bucket_default(ray_session, monkeypatch):
     monkeypatch.setattr(W, "SIMPLE_PATH_MAX_BYTES", 0)
     auto = W.q_events_sessions(sf).take_all()
     assert auto == simple
+
+
+def test_range_join_bucket_boundaries(ray_session):
+    """Hand-built fixture exercising the bucket-replication edges: a
+    probe near a bucket boundary must still see builds just across it,
+    and counts exclude the probe itself."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.windows import q_range_join
+
+    # window 60 s -> bucket 120 s.  Times chosen so probe at 119.9 s
+    # (bucket 0) must count a build at 120.1 s (bucket 1) and one at
+    # 60 s (same bucket), but not one at 185 s.
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # event_id, seconds offset, type
+        (1, 119.9, "error"),
+        (2, 120.1, "click"),
+        (3, 60.0, "view"),
+        (4, 185.0, "click"),
+        (5, 500.0, "error"),   # isolated -> 0 nearby
+        (6, 119.95, "error"),  # two probes near each other count each other
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [base + int(r[1] * 1e6) for r in rows], type=pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow.parquet as pq
+        pq.write_table(tbl, os.path.join(td, "events.parquet"))
+        got = {r["event_id"]: r["n_nearby"] for r in q_range_join(td).take_all()}
+    # probe 1 @119.9: builds within [59.9, 179.9] -> {2 (120.1), 3 (60.0), 6 (119.95)} = 3
+    # probe 5 @500: none
+    # probe 6 @119.95: builds within [59.95, 179.95] -> {1, 2, 3} = 3
+    assert got == {1: 3, 5: 0, 6: 3}
