@@ -173,7 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_simhash,
     )
     from kazu_ray.extras.cluster import q_neardup_components
-    from kazu_ray.extras.windows import q_asof_join, q_events_sessions, q_range_join
+    from kazu_ray.extras.windows import (
+        q_asof_join,
+        q_events_sessions,
+        q_events_sliding,
+        q_range_join,
+    )
     from kazu_ray.extras.multimodal import q_media_features, q_media_metadata, q_video_frames
     from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk, q_lsh_topk
     from kazu_ray.extras.metrics import (
@@ -238,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "events_sliding": q_events_sliding,
         "distinct_flags": q_distinct_flags,
         "region_customer_counts": q_region_customer_counts,
         "customer_order_join": q_customer_order_join,
@@ -282,6 +288,7 @@ _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
 
 def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.passages import dup_passages_oracle_sql
+    from kazu_ray.extras.windows import events_sliding_oracle_sql
     from kazu_ray.extras.text_analysis import bpe_token_count_oracle_sql
     from kazu_ray.extras.quality import (
         quality_filter_oracle_sql,
@@ -366,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.user_id, purchase_id
         """,
+        "events_sliding": events_sliding_oracle_sql(),
         "range_join": """
             SELECT e.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
             FROM events e

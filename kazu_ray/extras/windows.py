@@ -279,3 +279,92 @@ def q_range_join(sf_dir: str, window_s: int = 60):
         .map_groups(count_in_bucket, batch_format="pandas")
         .sort("event_id")
     )
+
+
+def q_events_sliding(sf_dir: str, window_hours: int = 3):
+    """Sliding windowed aggregate: per event_type and hour, counts and
+    value sums over the trailing ``window_hours`` (gap-aware: the frame
+    is a TIME range, not a row count, so missing hours don't shift it).
+
+    Ray-native: one tumbling groupby((event_type, hour)) exchange (the
+    same partial-aggregation shape as events_hourly), then the window
+    pass runs on the HOURLY table — bounded by distinct (type, hour)
+    pairs, i.e. time-bounded, not corpus-bounded, so a single-partition
+    vectorized prefix-sum + searchsorted pass is scale-safe at 100 TB
+    (the same bounded-side argument as the nodes/ontology reduces).
+
+    Parity note: sliding sums are computed from the ROUNDED hourly sums
+    on both engines so float accumulation order cannot diverge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(3_600_000_000))
+        return t.append_column("hour_bucket", hour).drop_columns(["ts"])
+
+    hourly = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, g in df.groupby("event_type", sort=True):
+            g = g.sort_values("hour_bucket").reset_index(drop=True)
+            hours = g["hour_bucket"].to_numpy()
+            n = g["n_events"].to_numpy()
+            v = round_half_away(g["sum_value"].to_numpy(), 3)
+            cn = np.concatenate([[0], np.cumsum(n)])
+            cv = np.concatenate([[0.0], np.cumsum(v)])
+            lo = np.searchsorted(hours, hours - (window_hours - 1), side="left")
+            hi = np.arange(1, len(hours) + 1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "hour_bucket": hours,
+                        "n_events_win": (cn[hi] - cn[lo]).astype("int64"),
+                        "sum_value_win": round_half_away(cv[hi] - cv[lo], 3),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # the hourly table is time-bounded (distinct hours), so one partition
+    return (
+        hourly.repartition(1)
+        .map_batches(window, batch_format="pandas", batch_size=None)
+        .sort(["event_type", "hour_bucket"])
+    )
+
+
+def events_sliding_oracle_sql(window_hours: int = 3) -> str:
+    return f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+                 COUNT(*) AS n,
+                 ROUND(SUM(value), 3) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour_bucket,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_events_win,
+               ROUND(SUM(v) OVER w, 3) AS sum_value_win
+        FROM hourly
+        WINDOW w AS (
+          PARTITION BY event_type ORDER BY hour_bucket
+          RANGE BETWEEN {window_hours - 1} PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_type, hour_bucket
+    """

@@ -133,3 +133,31 @@ def test_range_join_bucket_boundaries(ray_session):
     # probe 5 @500: none
     # probe 6 @119.95: builds within [59.95, 179.95] -> {1, 2, 3} = 3
     assert got == {1: 3, 5: 0, 6: 3}
+
+
+def test_events_sliding_gap_awareness(ray_session):
+    """The sliding frame is a TIME range: an hour gap must drop the
+    stale hour from the window rather than sliding by row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from kazu_ray.extras.windows import q_events_sliding
+
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    # hours 0, 1, 4 (gap at 2-3): window(3h) at hour 4 must contain ONLY hour 4
+    rows = [(i, h * H + base, "click", 1.0) for i, h in enumerate([0, 0, 1, 4])]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, os.path.join(td, "events.parquet"))
+        got = {r["hour_bucket"] - base // H: r["n_events_win"]
+               for r in q_events_sliding(td).take_all()}
+    assert got == {0: 2, 1: 3, 4: 1}
