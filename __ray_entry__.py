@@ -152,6 +152,12 @@ def _q_dup_passages(sf_dir: str):
     return q_dup_passages(sf_dir)
 
 
+def _q_decontaminate(sf_dir: str):
+    from kazu_ray.extras.passages import q_decontaminate
+
+    return q_decontaminate(sf_dir)
+
+
 def _q_quality_signals(sf_dir: str):
     from kazu_ray.extras.quality import q_quality_signals
 
@@ -230,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc duplicated-passage fractions (Lee et al. 2022 style
         # substring dedup via k-gram exchange)
         "dup_passages": _q_dup_passages,
+        # benchmark decontamination (broadcast blocklist, zero shuffle)
+        "decontaminate": _q_decontaminate,
         # BPE pre-tokenizer piece counting (training-token budgeting)
         "bpe_token_count": q_bpe_token_count,
         # --- relational operator family (SQL oracles)
@@ -287,7 +295,10 @@ _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
 
 
 def oracle_sql() -> dict[str, str]:
-    from kazu_ray.extras.passages import dup_passages_oracle_sql
+    from kazu_ray.extras.passages import (
+        decontaminate_oracle_sql,
+        dup_passages_oracle_sql,
+    )
     from kazu_ray.extras.windows import events_sliding_oracle_sql
     from kazu_ray.extras.text_analysis import bpe_token_count_oracle_sql
     from kazu_ray.extras.quality import (
@@ -303,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": quality_signals_oracle_sql(),
         "quality_filter": quality_filter_oracle_sql(),
         "dup_passages": dup_passages_oracle_sql(),
+        "decontaminate": decontaminate_oracle_sql(),
         "bpe_token_count": bpe_token_count_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

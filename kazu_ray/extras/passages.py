@@ -162,3 +162,105 @@ def dup_passages_oracle_sql(k: int = DEFAULT_K) -> str:
         GROUP BY g.doc_id
         ORDER BY g.doc_id
     """
+
+
+def decontaminate(docs_ds, benchmark_grams: set[str], k: int = DEFAULT_K):
+    """Benchmark decontamination (GPT-3 appendix C / Lee et al. style):
+    flag documents sharing any word k-gram with a benchmark set.
+
+    The benchmark side is SMALL by nature (eval suites, not corpora), so
+    this is the broadcast pattern, not an exchange: the gram set ships
+    once via ray.put and every batch filters against it locally — zero
+    shuffle, corpus never leaves its partitions."""
+    import ray
+
+    bl_ref = ray.put(sorted(benchmark_grams))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import ray as _ray
+
+        bl = _ray.get(bl_ref)
+        grams = pl.from_arrow(_doc_grams_batch(batch, k, nparts=1))
+        hits = (
+            grams.with_columns(hit=pl.col("gram").is_in(bl))
+            .group_by("doc_id")
+            .agg(n_hits=pl.col("hit").sum().cast(pl.Int64))
+        )
+        base = pl.from_arrow(batch.select(["doc_id"]))
+        out = (
+            base.join(hits, on="doc_id", how="left")
+            .with_columns(n_hits=pl.col("n_hits").fill_null(0))
+            .with_columns(contaminated=pl.col("n_hits") > 0)
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_hits", pa.int64()),
+                    ("contaminated", pa.bool_()),
+                ]
+            )
+        )
+
+    return docs_ds.map_batches(mark, batch_format="pyarrow")
+
+
+BENCH_MOD = 10  # doc_id % BENCH_MOD == 0 -> 'benchmark' doc (10%)
+
+
+def q_decontaminate(sf_dir: str, k: int = DEFAULT_K):
+    """Queryable surface: docs with doc_id % BENCH_MOD == 0 act as the
+    'benchmark' set (deterministic stand-in for an eval suite); every
+    OTHER doc is scored for k-gram overlap against it."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    # the benchmark subset is bounded (1% of docs here; a real eval
+    # suite in production) — a driver-side read of just that subset is
+    # the sanctioned small-side pattern
+    full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+    bench_tbl = full.filter(pa.array((ids % BENCH_MOD) == 0))
+    bench_grams = set(
+        _doc_grams_batch(bench_tbl, k, nparts=1).column("gram").to_pylist()
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def non_benchmark(b: pa.Table) -> pa.Table:
+        bid = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((bid % BENCH_MOD) != 0))
+
+    rest = ds.map_batches(non_benchmark, batch_format="pyarrow")
+    return decontaminate(rest, bench_grams, k=k).sort("doc_id")
+
+
+def decontaminate_oracle_sql(k: int = DEFAULT_K) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(len(ws) - {k - 1}, 0)),
+              i -> array_to_string(ws[i:i+{k - 1}], ' '))) AS gram
+          FROM w
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+        scored AS (
+          SELECT g.doc_id,
+                 CAST(COUNT(*) FILTER (b.gram IS NOT NULL) AS BIGINT) AS n_hits
+          FROM g LEFT JOIN bench b USING (gram)
+          WHERE g.doc_id % {BENCH_MOD} != 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, COALESCE(s.n_hits, 0) AS n_hits,
+               COALESCE(s.n_hits, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} != 0) d
+        LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
+    """

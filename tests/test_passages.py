@@ -76,3 +76,28 @@ def test_duckdb_parity_fixture(ray_session):
     import pandas.testing as pt
 
     pt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_decontaminate_fixture(ray_session):
+    """Hand-built corpus: doc 0 is 'benchmark' (BENCH_MOD divides it),
+    doc 1 copies one of its passages, doc 2 shares nothing."""
+    import ray.data as rd
+
+    from kazu_ray.extras.passages import decontaminate, _doc_grams_batch
+
+    bench = _docs(["the secret answer is forty two exactly"])
+    bench_grams = set(
+        _doc_grams_batch(bench, k=5, nparts=1).column("gram").to_pylist()
+    )
+    corpus = _docs(
+        [
+            "prefix words the secret answer is forty two and more",  # overlaps
+            "completely unrelated content with no shared passages here",
+        ]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate(rd.from_arrow(corpus), bench_grams, k=5).take_all()
+    }
+    assert got[0]["contaminated"] and got[0]["n_hits"] >= 1
+    assert not got[1]["contaminated"] and got[1]["n_hits"] == 0
