@@ -186,7 +186,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_range_join,
     )
     from kazu_ray.extras.multimodal import q_media_features, q_media_metadata, q_video_frames
-    from kazu_ray.extras.similarity import q_ann_topk, q_ivf_topk, q_lsh_topk
+    from kazu_ray.extras.similarity import (
+        q_ann_topk,
+        q_ivf_topk,
+        q_label_centroids,
+        q_lsh_topk,
+    )
     from kazu_ray.extras.metrics import (
         q_ivf_recall,
         q_lsh_recall,
@@ -275,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
         "lsh_topk": q_lsh_topk,  # rows-only; recall gate in lsh_recall
+        "label_centroids": q_label_centroids,
         # --- multimodal plumbing (rows-only; decode is stubbed)
         "media_features": q_media_features,
         "media_metadata": q_media_metadata,  # real header parse over synthetic PNGs
@@ -299,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_oracle_sql,
         dup_passages_oracle_sql,
     )
+    from kazu_ray.extras.similarity import label_centroids_oracle_sql
     from kazu_ray.extras.windows import events_sliding_oracle_sql
     from kazu_ray.extras.text_analysis import bpe_token_count_oracle_sql
     from kazu_ray.extras.quality import (
@@ -386,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p.user_id, purchase_id
         """,
         "events_sliding": events_sliding_oracle_sql(),
+        "label_centroids": label_centroids_oracle_sql(),
         "range_join": """
             SELECT e.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
             FROM events e

@@ -419,3 +419,85 @@ def q_lsh_topk(
         )
 
     return _merge_topk(ds.map_batches(partial, batch_format="pyarrow", batch_size=2048), k)
+
+
+# ------------------------------------------------------ vector aggregates
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid as a flat (label, dim, n, avg_value)
+    table — the vector-aggregate building block (class prototypes,
+    cluster summaries) for embedding-column pipelines.
+
+    Combiner-before-shuffle: each batch reduces to one (sum-vector, n)
+    partial per label (numpy, float64 accumulators), so only
+    |labels| x dim floats per batch cross the exchange; the final
+    groupby merges partials for the label-bounded result.  Parity with
+    the DuckDB oracle (CROSS JOIN generate_series per-dim AVG) via
+    half-away rounding of the single final division."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        col = t.column("embedding").combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), -1)
+        )
+        out_label, out_sum, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_label.append(int(lab))
+            out_sum.append(mat[m].sum(axis=0))
+            out_n.append(int(m.sum()))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(out_label, type=pa.int64()),
+                "vec_sum": pa.array(
+                    [s.tolist() for s in out_sum], type=pa.list_(pa.float64())
+                ),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    def merge(g) -> "object":
+        import pandas as pd
+
+        vs = np.stack([np.asarray(v) for v in g["vec_sum"]]).sum(axis=0)
+        n = int(g["n"].sum())
+        dims = np.arange(len(vs), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.full(len(vs), int(g["label"].iloc[0]), dtype=np.int64),
+                "dim": dims,
+                "n": np.full(len(vs), n, dtype=np.int64),
+                "avg_value": round_half_away(vs / n, 3),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["label", "dim"])
+    )
+
+
+def label_centroids_oracle_sql(dim: int = 64) -> str:
+    return f"""
+        WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS i)
+        SELECT e.label, CAST(d.i - 1 AS BIGINT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(CAST(e.embedding[d.i] AS DOUBLE)) / COUNT(*), 3)
+                 AS avg_value
+        FROM embeddings e CROSS JOIN dims d
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -109,3 +109,25 @@ def test_lsh_collision_filter_actually_prunes(ray_session):
     for scores in per_q.values():
         assert len(scores) <= 5
         assert scores == sorted(scores, reverse=True)
+
+
+def test_label_centroids_combiner_parity(ray_session):
+    """The partial-sum combiner must give the same centroids as a
+    single-pass numpy mean over the whole table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kazu_ray.extras.similarity import q_label_centroids
+    from kazu_ray.functions.rounding import round_half_away
+
+    got = q_label_centroids(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    labels = t.column("label").to_numpy(zero_copy_only=False)
+    col = t.column("embedding").combine_chunks()
+    mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = mat.reshape(len(col), -1)
+    for lab in np.unique(labels):
+        want = round_half_away(mat[labels == lab].mean(axis=0), 3)
+        sub = got[got["label"] == lab].sort_values("dim")
+        assert np.allclose(sub["avg_value"].to_numpy(), want, atol=5e-4), lab
+        assert (sub["n"] == (labels == lab).sum()).all()
