@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_bpe_token_count,
         q_doc_fingerprint,
         q_doc_token_stats,
+        q_json_props,
         q_langid_counts,
         q_token_topk,
     )
@@ -245,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         # BPE pre-tokenizer piece counting (training-token budgeting)
         "bpe_token_count": q_bpe_token_count,
+        # semi-structured: vectorized JSON field extraction + aggregate
+        "json_props": q_json_props,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
@@ -307,7 +310,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from kazu_ray.extras.similarity import label_centroids_oracle_sql
     from kazu_ray.extras.windows import events_sliding_oracle_sql
-    from kazu_ray.extras.text_analysis import bpe_token_count_oracle_sql
+    from kazu_ray.extras.text_analysis import (
+        bpe_token_count_oracle_sql,
+        json_props_oracle_sql,
+    )
     from kazu_ray.extras.quality import (
         quality_filter_oracle_sql,
         quality_signals_oracle_sql,
@@ -323,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_passages": dup_passages_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(),
         "bpe_token_count": bpe_token_count_oracle_sql(),
+        "json_props": json_props_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -181,3 +181,58 @@ def bpe_token_count_oracle_sql() -> str:
                     AS BIGINT) AS n_bpe_tokens
         FROM documents ORDER BY doc_id
     """
+
+
+def json_props_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized JSON field extraction from the events ``props`` column
+    (polars json_path_match — no per-row python json.loads), bucketing
+    the extracted key for a typed aggregate."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["event_type", "props"])).with_columns(
+        k=pl.col("props").str.json_path_match("$.k").cast(pl.Int64)
+    )
+    out = df.with_columns(k_bucket=(pl.col("k") // 10).cast(pl.Int64)).select(
+        "event_type", "k_bucket", "k"
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("k_bucket", pa.int64()),
+                ("k", pa.int64()),
+            ]
+        )
+    )
+
+
+def q_json_props(sf_dir: str):
+    """Semi-structured column handling: extract a JSON field from every
+    event's props payload and aggregate per (event_type, decile bucket)
+    — count plus summed key value.  Embarrassingly parallel extract,
+    one bounded-key groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+        .map_batches(json_props_batch, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+        .sort(["event_type", "k_bucket"])
+    )
+
+
+def json_props_oracle_sql() -> str:
+    # floor() rather than SQL // : DuckDB integer // truncates toward
+    # zero on negatives while polars // floors — floor() matches polars
+    return """
+        SELECT event_type,
+               CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10.0)
+                    AS BIGINT) AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS sum_k
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

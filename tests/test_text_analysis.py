@@ -30,3 +30,29 @@ def test_bpe_pretoken_count_parity_and_spec():
     pt.assert_frame_equal(
         got.sort_values("doc_id").reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_json_props_extraction_edges():
+    """Vectorized JSON extraction handles missing keys and malformed
+    payloads as nulls, matching DuckDB json_extract semantics."""
+    import duckdb
+    import pyarrow as pa
+
+    from kazu_ray.extras.text_analysis import json_props_batch
+
+    t = pa.table(
+        {
+            "event_type": ["a", "a", "b", "b"],
+            "props": ['{"k": 7}', '{"other": 1}', "not json", '{"k": -13}'],
+        }
+    )
+    rows = json_props_batch(t).to_pylist()
+    assert rows[0]["k"] == 7 and rows[0]["k_bucket"] == 0
+    assert rows[1]["k"] is None and rows[1]["k_bucket"] is None
+    assert rows[2]["k"] is None
+    con = duckdb.connect()
+    got = [r[0] for r in con.execute(
+        "SELECT CAST(json_extract(props, '$.k') AS BIGINT) FROM "
+        "(SELECT unnest(['{\"k\": 7}', '{\"other\": 1}', '{\"k\": -13}']) AS props)"
+    ).fetchall()]
+    assert got == [7, None, -13]
