@@ -112,9 +112,13 @@ def run_bench() -> dict:
                  "embedding_neardup", "doc_token_stats",
                  "events_sessions", "asof_join",
                  # round-3 additions: regex mutation NER, token-pattern
-                 # NER, IUPAC resolution, Gopher quality battery
+                 # NER, IUPAC resolution, Gopher quality battery,
+                 # passage/decontamination dedup, windows, vector ops
                  "mutation_mentions", "pattern_entities", "chem_smiles",
-                 "quality_signals", "quality_filter"):
+                 "quality_signals", "quality_filter", "dup_passages",
+                 "decontaminate", "range_join", "events_sliding",
+                 "json_props", "bpe_token_count", "lsh_topk",
+                 "label_centroids"):
         try:
             queries[name] = _timed(lambda n=name: q[n](SF_DIR).count())
         except Exception as exc:  # record, don't die
