@@ -17,7 +17,7 @@ ontology_preprocessing/base.py:363-524):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 
 import pandas as pd
 
@@ -41,6 +41,19 @@ class CuratedTerm:
     behaviour: str = ADD_FOR_NER_AND_LINKING
     case_sensitive: bool | None = None  # None -> keep autocuration default
     mention_confidence: int | None = None
+    # manually added on top of the ontology source (reference
+    # CuratedTerm.additional_to_source) — upgrade reports bucket these
+    # as 'extra' rather than 'obsolete' when the ontology drops them
+    additional_to_source: bool = False
+    # original ontology surface this curation was generated from, used
+    # to group obsolete terms for review (reference source_term)
+    source_term: str | None = None
+
+    @property
+    def control_aspects(self) -> tuple:
+        """The human-decided behaviours a migration must preserve
+        (reference CuratedTerm.control_aspects)."""
+        return (self.behaviour, self.case_sensitive, self.mention_confidence)
 
 
 @dataclass(frozen=True)
@@ -101,3 +114,143 @@ def apply_curations(
             if c.mention_confidence is not None:
                 ner_curations.loc[ner_mask, "mention_confidence"] = c.mention_confidence
     return syn_df.reset_index(drop=True), ner_curations.reset_index(drop=True)
+
+
+# ------------------------------------------------------- upgrade report
+
+@dataclass
+class UpgradeReport:
+    """Classification of an existing curation set against the terms of a
+    NEW ontology version (reference utils/curation_report.py
+    _OntologyUpgradeReport:48-180): six buckets driving the documented
+    re-curation workflow."""
+
+    matched: set[CuratedTerm] = field(default_factory=set)
+    modified: set[CuratedTerm] = field(default_factory=set)
+    case_warnings: dict[str, set[CuratedTerm]] = field(default_factory=dict)
+    obsolete: dict[str, set[CuratedTerm]] = field(default_factory=dict)
+    extra: set[CuratedTerm] = field(default_factory=set)
+    novel: dict[str, set[CuratedTerm]] = field(default_factory=dict)
+
+    def summary(self) -> dict[str, int]:
+        return {
+            "matched": len(self.matched),
+            "modified": len(self.modified),
+            "case_warnings": sum(len(v) for v in self.case_warnings.values()),
+            "obsolete": sum(len(v) for v in self.obsolete.values()),
+            "extra": len(self.extra),
+            "novel": sum(len(v) for v in self.novel.values()),
+        }
+
+
+def upgrade_report(
+    existing: list[CuratedTerm], incoming: list[CuratedTerm]
+) -> UpgradeReport:
+    """Reference two-pass semantics: exhaust every case-SENSITIVE match
+    first (so case-insensitive matching cannot steal a term another
+    curation already claimed), then classify the remainder:
+
+    * exact synonym match              -> ``matched`` (keep as-is)
+    * ci match, ONE behaviour set      -> ``modified`` (incoming term
+      adopting the existing human behaviours)
+    * ci match, conflicting behaviours -> ``case_warnings`` (recurate)
+    * no match, additional_to_source   -> ``extra`` (manual add, keep)
+    * no match otherwise               -> ``obsolete`` (grouped by
+      source_term for review)
+    * incoming never matched           -> ``novel`` (needs curation)
+    """
+    rep = UpgradeReport()
+    inc_cs: dict[str, set[CuratedTerm]] = {}
+    inc_ci: dict[str, set[CuratedTerm]] = {}
+    for t in incoming:
+        inc_cs.setdefault(t.curated_synonym, set()).add(t)
+        inc_ci.setdefault(t.curated_synonym.lower(), set()).add(t)
+    ex_cs: dict[str, set[CuratedTerm]] = {}
+    for t in existing:
+        ex_cs.setdefault(t.curated_synonym, set()).add(t)
+
+    eliminated_ci: dict[str, set[CuratedTerm]] = {}
+    remaining: dict[str, set[CuratedTerm]] = {}
+    for surface, terms in ex_cs.items():
+        hit = inc_cs.pop(surface, None)
+        if hit is not None:
+            rep.matched.update(terms)
+            eliminated_ci.setdefault(surface.lower(), set()).update(hit)
+        else:
+            remaining[surface] = terms
+
+    for surface, terms in remaining.items():
+        hit_ci = inc_ci.pop(surface.lower(), None)
+        if hit_ci is None:
+            for t in terms:
+                if t.additional_to_source:
+                    rep.extra.add(t)
+                else:
+                    key = t.source_term or t.curated_synonym
+                    rep.obsolete.setdefault(key, set()).add(t)
+            continue
+        unhandled = hit_ci - eliminated_ci.get(surface.lower(), set())
+        if not unhandled:
+            continue
+        aspects = {t.control_aspects for t in terms}
+        if len(aspects) == 1:
+            behaviour, case_sensitive, conf = next(iter(aspects))
+            for g in unhandled:
+                rep.modified.add(
+                    replace(
+                        g,
+                        behaviour=behaviour,
+                        case_sensitive=case_sensitive,
+                        mention_confidence=conf,
+                    )
+                )
+        else:
+            for g in unhandled:
+                rep.case_warnings.setdefault(g.curated_synonym, set()).add(g)
+
+    for lower, terms in inc_ci.items():
+        unhandled = terms - eliminated_ci.get(lower, set())
+        for t in unhandled:
+            rep.novel.setdefault(t.curated_synonym, set()).add(t)
+    return rep
+
+
+def write_upgrade_report(rep: UpgradeReport, out_dir: str) -> dict[str, str]:
+    """Reference-named jsonl outputs + instructions file
+    (curation_report.py:23-44 filenames)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(name: str, terms) -> str:
+        path = os.path.join(out_dir, name)
+        with open(path, "w") as f:
+            for t in sorted(terms, key=lambda x: (x.parser_name, x.curated_synonym)):
+                f.write(json.dumps(asdict(t)) + "\n")
+        return path
+
+    paths = {
+        "migrated": dump("_migrated_terms.jsonl", rep.matched),
+        "modified": dump("_modified_terms.jsonl", rep.modified),
+        "case_warnings": dump(
+            "_matched_terms_case_warnings.jsonl",
+            {t for v in rep.case_warnings.values() for t in v},
+        ),
+        "obsolete": dump(
+            "_obsolete_terms.jsonl", {t for v in rep.obsolete.values() for t in v}
+        ),
+        "extra": dump("_extra_ontology_terms.jsonl", rep.extra),
+        "novel": dump(
+            "_novel_terms.jsonl", {t for v in rep.novel.values() for t in v}
+        ),
+    }
+    with open(os.path.join(out_dir, "README.txt"), "w") as f:
+        f.write(
+            "Ontology upgrade report: recurate *_case_warnings and "
+            "*_novel files; obsolete files can be removed; migrated/"
+            "modified/extra carry forward.\n"
+            + json.dumps(rep.summary())
+            + "\n"
+        )
+    return paths

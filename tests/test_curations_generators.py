@@ -166,3 +166,56 @@ def test_verb_phrase_in_combinatorial():
     )
     out = gen("appetite decreased")
     assert "decrease of appetite" in out
+
+
+# ------------------------------------------------- ontology upgrade report
+
+def test_upgrade_report_six_buckets(tmp_path):
+    """One scenario per bucket, mirroring reference curation_report.py
+    semantics (exact pass before case-insensitive pass; behaviour-set
+    uniqueness gating auto-migration)."""
+    from kazu_ray.ontology.curations import (
+        CuratedTerm,
+        upgrade_report,
+        write_upgrade_report,
+    )
+
+    C = CuratedTerm
+    existing = [
+        C("p", "melanoma"),                                  # exact -> matched
+        C("p", "EGFR", case_sensitive=True),                 # ci-only, single aspects -> modified
+        C("p", "Asthma", behaviour="IGNORE"),                # ci-only, CONFLICTING aspects
+        C("p", "Asthma", behaviour="ADD_FOR_NER_AND_LINKING"),
+        C("p", "oldterm", source_term="old source"),         # gone -> obsolete
+        C("p", "housebrand", additional_to_source=True),     # gone but manual -> extra
+    ]
+    incoming = [
+        C("p", "melanoma"),
+        C("p", "egfr"),
+        C("p", "asthma"),
+        C("p", "brandnew"),                                  # -> novel
+    ]
+    rep = upgrade_report(existing, incoming)
+    assert rep.summary() == {
+        "matched": 1, "modified": 1, "case_warnings": 1,
+        "obsolete": 1, "extra": 1, "novel": 1,
+    }
+    # the migrated term keeps the incoming surface but the HUMAN aspects
+    mod = next(iter(rep.modified))
+    assert mod.curated_synonym == "egfr" and mod.case_sensitive is True
+    assert "old source" in rep.obsolete
+    assert next(iter(rep.novel)) == "brandnew"
+    # exact match must pre-empt ci (reference pass order): the exactly
+    # matched incoming term is eliminated; its distinct-cased twin is
+    # NOVEL (the existing curation was already consumed by pass 1, so
+    # nothing remains to migrate behaviours from)
+    rep2 = upgrade_report([C("p", "BRCA1")], [C("p", "BRCA1"), C("p", "brca1")])
+    assert rep2.summary()["matched"] == 1
+    assert rep2.summary()["modified"] == 0
+    assert rep2.summary()["novel"] == 1
+
+    paths = write_upgrade_report(rep, str(tmp_path / "report"))
+    import json, os
+    assert os.path.exists(paths["novel"])
+    lines = open(paths["modified"]).read().strip().splitlines()
+    assert json.loads(lines[0])["curated_synonym"] == "egfr"
