@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_distinct_flags,
         q_events_hourly,
         q_lineitem_agg,
+        q_orders_rank_per_group,
         q_orders_topk,
         q_part_semi_join,
         q_part_size_hist,
@@ -251,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
         "orders_topk": q_orders_topk,
+        "orders_rank_per_group": q_orders_rank_per_group,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         # whale-safe two-phase variant: same oracle, exact equality
@@ -401,6 +403,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sliding": events_sliding_oracle_sql(),
         "label_centroids": label_centroids_oracle_sql(),
+        "orders_rank_per_group": """
+            SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+                   o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) t WHERE rank <= 3
+            ORDER BY o_orderpriority, rank
+        """,
         "range_join": """
             SELECT e.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
             FROM events e

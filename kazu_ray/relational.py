@@ -349,3 +349,49 @@ def q_customer_running_total(sf_dir: str):
         .map_groups(running, batch_format="pandas")
         .sort(["o_custkey", "o_orderkey"])
     )
+
+
+def q_orders_rank_per_group(sf_dir: str, k: int = 3):
+    """Per-group top-k with rank (ROW_NUMBER window analogue): the k
+    most expensive orders per order priority, ranked.
+
+    Scale design: per-BATCH partial top-k per group (each batch reduces
+    to at most |groups| x k rows before anything crosses the exchange),
+    then a groups-bounded merge re-ranks the partials — the per-group
+    generalization of the orders_topk global pattern; no global sort,
+    no corpus-sized group materialization."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (
+            df.sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+            )
+            .groupby("o_orderpriority", sort=False)
+            .head(k)
+        )
+        # strip pandas metadata: unhashable dicts break Ray's
+        # schema-dedup fast path (harmless but noisy)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return g[["o_orderpriority", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["o_orderpriority", "rank"])
+    )
