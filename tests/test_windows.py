@@ -161,3 +161,75 @@ def test_events_sliding_gap_awareness(ray_session):
         got = {r["hour_bucket"] - base // H: r["n_events_win"]
                for r in q_events_sliding(td).take_all()}
     assert got == {0: 2, 1: 3, 4: 1}
+
+
+def test_range_join_random_vs_bruteforce(ray_session, tmp_path):
+    """Seeded random event sets: the bucketed range join must equal an
+    O(n^2) brute-force count — catches any replication/boundary slip
+    beyond the hand fixture."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    from kazu_ray.extras.windows import q_range_join
+
+    rng = np.random.default_rng(42)
+    n = 300
+    base = 1_700_000_000_000_000
+    ts = base + np.sort(rng.integers(0, 3600 * 1_000_000, size=n))
+    types = rng.choice(["error", "click", "view"], size=n, p=[0.3, 0.4, 0.3])
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+            "event_type": pa.array(types.tolist()),
+        }
+    )
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = {r["event_id"]: r["n_nearby"] for r in q_range_join(d).take_all()}
+    w = 60 * 1_000_000
+    want = {}
+    for i in range(n):
+        if types[i] != "error":
+            continue
+        want[i] = int(
+            ((ts >= ts[i] - w) & (ts <= ts[i] + w)).sum() - 1
+        )
+    assert got == want
+
+
+def test_events_sliding_random_vs_bruteforce(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    from kazu_ray.extras.windows import q_events_sliding
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    ts = base + rng.integers(0, 48 * H, size=n)
+    types = rng.choice(["a", "b"], size=n)
+    vals = np.round(rng.uniform(0, 20, size=n), 2)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+    d = str(tmp_path / "ev2")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    rows = q_events_sliding(d).take_all()
+    hours = ts // H
+    for r in rows[:50]:
+        et, h = r["event_type"], r["hour_bucket"]
+        mask = (types == et) & (hours >= h - 2) & (hours <= h)
+        assert r["n_events_win"] == int(mask.sum()), (et, h)
