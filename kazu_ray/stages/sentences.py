@@ -38,15 +38,19 @@ _ABBREVIATIONS = frozenset(
     "inc ltd".split()
 )
 
-# the word immediately before a candidate boundary, e.g. 'al.' or 'J.'
-_PRECEDING_WORD = re.compile(r"(\S+)$")
+# longest abbreviation we need to look back for ('mrs.' + brackets)
+_MAX_ABBREV_LOOKBACK = 16
 
 
-def _is_abbreviation_end(prefix: str) -> bool:
-    m = _PRECEDING_WORD.search(prefix)
-    if not m:
+def _is_abbreviation_end(text: str, end: int) -> bool:
+    """Is the word ending at ``end`` an abbreviation/initial?  Bounded
+    backward scan — O(word length) per boundary, no prefix slicing."""
+    i = end
+    while i > 0 and not text[i - 1].isspace() and end - i < _MAX_ABBREV_LOOKBACK:
+        i -= 1
+    word = text[i:end].lstrip("([{\"'")
+    if not word:
         return False
-    word = m.group(1).lstrip("([{\"'")
     bare = word[:-1] if word.endswith(".") else word
     if bare.lower().rstrip(".") in _ABBREVIATIONS or bare.lower() in _ABBREVIATIONS:
         return True
@@ -60,7 +64,7 @@ def sentence_spans(text: str) -> list[tuple[int, int]]:
     out = []
     start = 0
     for m in _BOUNDARY.finditer(text):
-        if _is_abbreviation_end(text[: m.start()]):
+        if _is_abbreviation_end(text, m.start()):
             continue
         end = m.start()
         if end > start:
