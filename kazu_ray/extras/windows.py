@@ -228,6 +228,14 @@ def q_range_join(sf_dir: str, window_s: int = 60):
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
     )
 
+    # one Ray group per time bucket would mean a per-120-seconds task —
+    # pathological at long time ranges.  Coarsen: ~nparts exchange
+    # groups keyed by hash(bucket), each processing its buckets
+    # vectorized (the same coarse-partition pattern as passages/minhash)
+    from ..context import shuffle_partitions
+
+    nparts = shuffle_partitions()
+
     def emit(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
@@ -246,37 +254,50 @@ def q_range_join(sf_dir: str, window_s: int = 60):
             out_role.extend([0] * len(b))
             out_eid.extend(eid.tolist())
             out_ts.extend(ts.tolist())
+        bucket_arr = np.asarray(out_bucket, dtype=np.int64)
+        h = (bucket_arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        part = (h % np.uint64(nparts)).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "bucket": pa.array(out_bucket, type=pa.int64()),
+                "part": pa.array(part, type=pa.int64()),
+                "bucket": pa.array(bucket_arr, type=pa.int64()),
                 "role": pa.array(out_role, type=pa.int8()),
                 "event_id": pa.array(out_eid, type=pa.int64()),
                 "ts_us": pa.array(out_ts, type=pa.int64()),
             }
         )
 
-    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        probes = g[g["role"] == 1]
-        if probes.empty:
+    def count_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out_eid, out_n = [], []
+        for _, sub in g.groupby("bucket", sort=False):
+            probes = sub[sub["role"] == 1]
+            if probes.empty:
+                continue
+            builds = np.sort(sub.loc[sub["role"] == 0, "ts_us"].to_numpy())
+            t = probes["ts_us"].to_numpy()
+            n = (
+                np.searchsorted(builds, t + w_us, side="right")
+                - np.searchsorted(builds, t - w_us, side="left")
+                - 1  # builds include the probe event itself
+            )
+            out_eid.append(probes["event_id"].to_numpy())
+            out_n.append(n)
+        if not out_eid:
             return pd.DataFrame(
                 {"event_id": pd.Series(dtype="int64"),
                  "n_nearby": pd.Series(dtype="int64")}
             )
-        builds = np.sort(g.loc[g["role"] == 0, "ts_us"].to_numpy())
-        t = probes["ts_us"].to_numpy()
-        n = (
-            np.searchsorted(builds, t + w_us, side="right")
-            - np.searchsorted(builds, t - w_us, side="left")
-            - 1  # builds include the probe event itself
-        )
         return pd.DataFrame(
-            {"event_id": probes["event_id"].to_numpy(), "n_nearby": n}
+            {
+                "event_id": np.concatenate(out_eid),
+                "n_nearby": np.concatenate(out_n).astype("int64"),
+            }
         )
 
     return (
         ds.map_batches(emit, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(count_in_bucket, batch_format="pandas")
+        .groupby("part")
+        .map_groups(count_in_partition, batch_format="pandas")
         .sort("event_id")
     )
 
