@@ -323,20 +323,38 @@ def q_part_size_hist(sf_dir: str):
 
 def q_customer_running_total(sf_dir: str):
     """Per-customer running order total (window function): partition by
-    custkey, sort by (date, orderkey), cumulative sum per group."""
+    custkey, sort by (date, orderkey), cumulative sum per group.
+
+    One Ray group per customer is pathological (per-tiny-group task
+    overhead); customers hash into ~P coarse partitions and the cumsum
+    runs as ONE vectorized pandas groupby-cumsum per partition."""
+    import numpy as np
     import pandas as pd
+
+    from .context import shuffle_partitions
+
+    nparts = shuffle_partitions()
 
     ds = _rd().read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
     )
 
+    def key(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        h = (ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(nparts)).astype(np.int64))
+        )
+
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
         out = pd.DataFrame(
             {
                 "o_custkey": g["o_custkey"].astype("int64"),
                 "o_orderkey": g["o_orderkey"].astype("int64"),
-                "running_total": g["o_totalprice"].cumsum(),
+                "running_total": g.groupby("o_custkey", sort=False)[
+                    "o_totalprice"
+                ].cumsum(),
             }
         )
         from kazu_ray.functions.rounding import round_half_away
@@ -345,7 +363,8 @@ def q_customer_running_total(sf_dir: str):
         return out
 
     return (
-        ds.groupby("o_custkey")
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(running, batch_format="pandas")
         .sort(["o_custkey", "o_orderkey"])
     )
