@@ -159,13 +159,30 @@ def q_events_sessions(sf_dir: str, bucket_us: int | None | str = "auto"):
 
 def q_asof_join(sf_dir: str):
     """As-of join: each 'purchase' event matched to the user's most
-    recent prior-or-equal 'view' event (pd.merge_asof per user group —
-    the bucketed as-of join pattern)."""
+    recent prior-or-equal 'view' event.
+
+    User count grows with the corpus, so one Ray group per user would
+    degenerate to millions of tiny tasks; users hash into ~P coarse
+    partitions and each partition runs ONE ``pd.merge_asof(by=user_id)``
+    (vectorized grouped as-of merge) over its users."""
+    import numpy as np
+    import pyarrow as pa
     import ray.data as rd
+
+    from ..context import shuffle_partitions
+
+    nparts = shuffle_partitions()
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
     )
+
+    def key(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(nparts)).astype(np.int64))
+        )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         purchases = g[g["event_type"] == "purchase"].sort_values("ts")
@@ -178,8 +195,11 @@ def q_asof_join(sf_dir: str):
             )
         merged = pd.merge_asof(
             purchases[["ts", "event_id", "user_id"]],
-            views[["ts", "event_id"]].rename(columns={"event_id": "view_event"}),
+            views[["ts", "event_id", "user_id"]].rename(
+                columns={"event_id": "view_event"}
+            ),
             on="ts",
+            by="user_id",
             direction="backward",
         )
         return pd.DataFrame(
@@ -191,7 +211,8 @@ def q_asof_join(sf_dir: str):
         )
 
     return (
-        ds.groupby("user_id")
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(asof, batch_format="pandas")
         .sort(["user_id", "purchase_id"])
     )
