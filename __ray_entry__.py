@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_label_centroids,
         q_lsh_topk,
     )
+    from kazu_ray.extras.sketches import q_price_quantiles, q_quantile_accuracy
     from kazu_ray.extras.metrics import (
         q_ivf_recall,
         q_lsh_recall,
@@ -286,6 +287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
         "lsh_topk": q_lsh_topk,  # rows-only; recall gate in lsh_recall
         "label_centroids": q_label_centroids,
+        # mergeable quantile sketch (KLL-flavoured weighted centroids)
+        "price_quantiles": q_price_quantiles,
+        "quantile_accuracy": q_quantile_accuracy,
         # --- multimodal plumbing (rows-only; decode is stubbed)
         "media_features": q_media_features,
         "media_metadata": q_media_metadata,  # real header parse over synthetic PNGs

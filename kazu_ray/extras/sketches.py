@@ -1,0 +1,165 @@
+"""Mergeable quantile sketch over numeric columns.
+
+The numeric-column member of the sketch family (MinHash/SimHash cover
+set similarity in extras/dedup.py): a KLL-flavoured weighted-centroid
+compaction — each batch compresses its sorted values to at most ``k``
+(value, weight) centroids at evenly spaced cumulative ranks; sketches
+merge by concatenation + recompression; quantiles read off the merged
+cumulative weights.  Rank error per compaction is bounded by
+``total_weight / k``, so with the two-level reduction below the end-to-
+end error stays well inside the 1%-of-value gate pinned in pytest.
+
+Scale shape (combiner tree, no driver-side data):
+
+1. ``map_batches`` → per-batch sketch rows (≤ k rows per block),
+2. coarse ``groupby(part)`` → per-partition merge+recompress (≤ k rows
+   per partition),
+3. bounded driver merge of ≤ P×k centroid rows → final quantiles.
+
+Estimates depend (slightly) on batch/merge boundaries, so the driver
+check is rows-only; the accuracy gate vs exact quantiles is the
+``quantile_accuracy`` queryable metric and test_sketches.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_K = 512
+
+SKETCH_SCHEMA = pa.schema(
+    [("part", pa.int64()), ("value", pa.float64()), ("weight", pa.float64())]
+)
+
+
+def compress(values: np.ndarray, weights: np.ndarray | None = None,
+             k: int = DEFAULT_K) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted values → ≤k centroids at evenly spaced cumulative ranks.
+    Keeps exact min and max so tail quantiles never clip inward."""
+    if weights is None:
+        weights = np.ones(len(values), dtype=np.float64)
+    if len(values) == 0:
+        return values.astype(np.float64), weights
+    order = np.argsort(values, kind="stable")
+    v = values[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    if len(v) <= k:
+        return v, w
+    cum = np.cumsum(w)
+    total = cum[-1]
+    # bucket boundaries at evenly spaced cumulative weight
+    edges = np.linspace(0, total, k + 1)
+    idx = np.searchsorted(cum, edges[1:-1], side="left")
+    starts = np.concatenate([[0], idx])
+    ends = np.concatenate([idx, [len(v)]])
+    out_v, out_w = [], []
+    for s, e in zip(starts, ends):
+        if e <= s:
+            continue
+        bw = w[s:e]
+        out_v.append(float(np.dot(v[s:e], bw) / bw.sum()))
+        out_w.append(float(bw.sum()))
+    out_v_arr = np.asarray(out_v)
+    out_w_arr = np.asarray(out_w)
+    # pin exact extremes (weight borrowed from the edge buckets)
+    out_v_arr[0], out_v_arr[-1] = v[0], v[-1]
+    return out_v_arr, out_w_arr
+
+
+def quantiles(values: np.ndarray, weights: np.ndarray,
+              qs: list[float]) -> list[float]:
+    """Weighted quantiles with linear interpolation between centroids."""
+    order = np.argsort(values, kind="stable")
+    v, w = values[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    # midpoint convention: centroid i sits at cum[i] - w[i]/2
+    pos = cum - w / 2
+    return [float(np.interp(q * total, pos, v)) for q in qs]
+
+
+def quantile_sketch(ds, column: str, k: int = DEFAULT_K, nparts: int = 16):
+    """Dataset → merged (value, weight) centroid arrays (bounded)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        v, w = compress(col, k=k)
+        # spread partial sketches across merge partitions round-robin by
+        # content hash so partition sizes stay even
+        part = int(np.abs(np.sum(v)) * 1000) % nparts if len(v) else 0
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array([part] * len(v), type=pa.int64()),
+                "value": pa.array(v, type=pa.float64()),
+                "weight": pa.array(w, type=pa.float64()),
+            }
+        )
+
+    def merge_part(g) -> "object":
+        import pandas as pd
+
+        v, w = compress(
+            g["value"].to_numpy(), g["weight"].to_numpy(), k=k
+        )
+        return pd.DataFrame({"value": v, "weight": w})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
+        .take_all()
+    )
+    v = np.array([r["value"] for r in merged])
+    w = np.array([r["weight"] for r in merged])
+    return v, w
+
+
+def q_price_quantiles(sf_dir: str):
+    """Approximate p50/p90/p99 of order totalprice via the mergeable
+    sketch (rows-only driver check; accuracy gated by
+    quantile_accuracy)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    v, w = quantile_sketch(ds, "o_totalprice")
+    p50, p90, p99 = quantiles(v, w, [0.5, 0.9, 0.99])
+    return pd.DataFrame(
+        {
+            "p50": [round(p50, 2)],
+            "p90": [round(p90, 2)],
+            "p99": [round(p99, 2)],
+            "n_centroids": [len(v)],
+            "total_weight": [float(w.sum())],
+        }
+    )
+
+
+def q_quantile_accuracy(sf_dir: str):
+    """Relative error of the sketch quantiles vs exact numpy quantiles
+    on the same column — the queryable gate (≤1% of value)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    v, w = quantile_sketch(ds, "o_totalprice")
+    approx = quantiles(v, w, [0.5, 0.9, 0.99])
+    exact_col = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+        .column("o_totalprice")
+        .to_numpy(zero_copy_only=False)
+    )
+    exact = np.quantile(exact_col, [0.5, 0.9, 0.99])
+    rel = [abs(a - e) / abs(e) for a, e in zip(approx, exact)]
+    return pd.DataFrame(
+        {
+            "max_rel_err": [round(max(rel), 6)],
+            "p50_rel_err": [round(rel[0], 6)],
+            "p90_rel_err": [round(rel[1], 6)],
+            "p99_rel_err": [round(rel[2], 6)],
+            "gate": [0.01],
+            "passes": [max(rel) <= 0.01],
+        }
+    )
