@@ -895,10 +895,12 @@ def _name_to_mol_core(name: str) -> Mol | None:
     # candidate parent start positions: every stem / 'benzen' occurrence,
     # rightmost first; 'cyclo' immediately before the stem joins the parent
     candidates = []
+    # zero-width search: plain finditer skips OVERLAPPING occurrences
+    # ('2-aminononane' has 'non' at both 5 and 7; only 7 is the parent)
     for stem, _ in _STEMS:
-        for m in re.finditer(re.escape(stem), name):
+        for m in re.finditer(f"(?={re.escape(stem)})", name):
             candidates.append(m.start())
-    for m in re.finditer("benzen", name):
+    for m in re.finditer("(?=benzen)", name):
         candidates.append(m.start())
     for start in sorted(set(candidates), reverse=True):
         real_start = start
