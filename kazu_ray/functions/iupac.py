@@ -958,16 +958,99 @@ def _name_to_mol_core(name: str) -> Mol | None:
     return None
 
 
+# functional-class nomenclature: "<groups> <class word>" (P-66 style);
+# class word -> (required group count, assembler)
+_ESTER_RETAINED = {"acetate": "acetic acid", "formate": "formic acid"}
+
+
+def _parse_group_words(words: list[str]) -> list[_Substituent] | None:
+    """Expand di/tri multipliers and parse each word as a substituent
+    ('dimethyl' -> [methyl, methyl])."""
+    out: list[_Substituent] = []
+    for w in words:
+        count = 1
+        for mname, mval in _MULT.items():
+            if w.startswith(mname) and _parse_substituent_name(w[len(mname):]):
+                count = mval
+                w = w[len(mname):]
+                break
+        sub = _parse_substituent_name(w)
+        if sub is None:
+            return None
+        out.extend([sub] * count)
+    return out
+
+
+def _functional_class(name: str) -> Mol | None:
+    """Ether / ketone / halide / cyanide / alcohol / ester functional-
+    class names ('dimethyl ether', 'methyl ethyl ketone',
+    'ethyl chloride', 'methyl ethanoate')."""
+    words = name.split()
+    if len(words) < 2:
+        return None
+    last = words[-1]
+    simple = {
+        "chloride": ("Cl", 1), "bromide": ("Br", 1), "iodide": ("I", 1),
+        "fluoride": ("F", 1), "alcohol": ("O", 1), "ether": ("O", 2),
+        "ketone": (None, 2), "cyanide": (None, 1),
+    }
+    if last in simple:
+        groups = _parse_group_words(words[:-1])
+        el, need = simple[last]
+        if groups is None or len(groups) != need:
+            return None
+        mol = Mol()
+        if last == "ketone":
+            core = mol.add_atom("C")
+            mol.add_bond(core, mol.add_atom("O"), 2)
+        elif last == "cyanide":
+            core = mol.add_atom("C")
+            mol.add_bond(core, mol.add_atom("N"), 3)
+        else:
+            core = mol.add_atom(el)
+        for g in groups:
+            g.attach(mol, core)
+        mol.validate()
+        return mol
+    # esters: "<alkyl> <acid-stem>oate" / retained acetate/formate
+    if len(words) == 2 and (last.endswith("oate") or last in _ESTER_RETAINED):
+        groups = _parse_group_words(words[:1])
+        if groups is None or len(groups) != 1:
+            return None
+        acid_name = _ESTER_RETAINED.get(last, f"{last[:-3]}ic acid")
+        acid = name_to_mol(acid_name)
+        if acid is None:
+            return None
+        # the hydroxyl O of the carboxyl: degree-1 O on a C carrying =O
+        for i, (el, _) in enumerate(acid.atoms):
+            if el != "O":
+                continue
+            nbrs = acid.neighbors(i)
+            if len(nbrs) == 1 and nbrs[0][1] == 1:
+                c = nbrs[0][0]
+                if acid.atoms[c][0] == "C" and any(
+                    o == 2 and acid.atoms[j][0] == "O"
+                    for j, o in acid.neighbors(c)
+                ):
+                    groups[0].attach(acid, i)
+                    acid.validate()
+                    return acid
+    return None
+
+
 def name_to_mol(name: str) -> Mol | None:
     name = name.strip().lower()
     if not name or len(name) > 200:
         return None
     if name in RETAINED_NAMES:
         return parse_smiles(RETAINED_NAMES[name])
-    # names are single words except two-word acids; the grammar itself is
-    # matched space-elided ('hexanoic acid' → 'hexanoicacid')
+    # multi-word names: two-word acids parse space-elided through the
+    # substitutive grammar; everything else tries functional-class forms
     if " " in name and not name.endswith(" acid"):
-        return None
+        try:
+            return _functional_class(name)
+        except (ParseError, RecursionError):
+            return None
     try:
         return _name_to_mol_core(name.replace(" ", ""))
     except (ParseError, RecursionError):

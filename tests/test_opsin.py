@@ -311,3 +311,51 @@ def test_parse_never_emits_invalid_molecule(case):
     smiles = name_to_smiles(_compose(stem, pairs))
     if smiles is not None:
         assert canonical_smiles(parse_smiles(smiles)) == smiles
+
+
+FUNCTIONAL_CLASS_VECTORS = [
+    ("dimethyl ether", "COC"),
+    ("diethyl ether", "CCOCC"),
+    ("methyl ethyl ether", "CCOC"),
+    ("ethyl methyl ketone", "CCC(C)=O"),
+    ("ethyl chloride", "CCCl"),
+    ("methyl bromide", "CBr"),
+    ("isopropyl alcohol", "CC(C)O"),
+    ("methyl cyanide", "CC#N"),
+    ("methyl ethanoate", "COC(C)=O"),
+    ("ethyl hexanoate", "CCCCCC(=O)OCC"),
+    ("methyl acetate", "COC(C)=O"),
+    ("ethyl formate", "CCOC=O"),
+    ("benzyl chloride", "ClCc1ccccc1"),
+    ("tert-butyl chloride", "CC(C)(C)Cl"),
+]
+
+
+def test_functional_class_vectors():
+    for name, smiles in FUNCTIONAL_CLASS_VECTORS:
+        got = name_to_smiles(name)
+        want = canonical_smiles(parse_smiles(smiles))
+        assert got == want, f"{name}: {got} != {want}"
+
+
+def test_functional_class_equivalences():
+    # the same structure via substitutive vs functional-class naming
+    for a, b in [
+        ("ethyl methyl ketone", "butan-2-one"),
+        ("isopropyl alcohol", "propan-2-ol"),
+        ("methyl cyanide", "ethanenitrile"),
+        ("ethyl chloride", "chloroethane"),
+        ("dimethyl ether", "methoxymethane"),
+    ]:
+        assert name_to_smiles(a) == name_to_smiles(b) != None, (a, b)
+
+
+def test_functional_class_rejects_malformed():
+    for bad in [
+        "dimethyl ketone ether",  # extra class word
+        "unknownyl ether",
+        "trimethyl ether",        # wrong group count
+        "methyl",                 # class word missing
+        "methyl xyzoate",
+    ]:
+        assert name_to_smiles(bad) is None, bad
