@@ -137,6 +137,10 @@ INJECT_NAMES = (
     "propanenitrile",
     "nitromethane",
     "buta-1,3-diene",
+    # functional-class forms (resolved via the 2-break extension window)
+    "dimethyl ether",
+    "methyl ethanoate",
+    "isopropyl alcohol",
     "1,4:3,6-dianhydro-2,5-di-o-nitro-d-glucitol",  # parse fails → no SMILES
 )
 

@@ -245,13 +245,22 @@ def test_chem_smiles_query_batch_golden():
     )
     out = _smiles_batch(batch).to_pylist()
     by_doc = {r["doc_id"]: r for r in out}
-    # every grammar-parseable name resolves; the glucitol row (idx 11) fails
+    # every grammar-parseable name resolves; only the glucitol row fails
+    glucitol_idx = INJECT_NAMES.index(
+        "1,4:3,6-dianhydro-2,5-di-o-nitro-d-glucitol"
+    )
     assert len(out) == len(INJECT_NAMES) - 1
-    assert 11 not in by_doc
+    assert glucitol_idx not in by_doc
     assert by_doc[1]["match"] == "propan-2-ol"
     assert by_doc[1]["smiles"] == name_to_smiles("propan-2-ol")
     assert by_doc[3]["match"] == "cyclohexanecarboxylic acid"
     assert by_doc[7]["smiles"] == name_to_smiles("hexanoic acid")
+    # functional-class injections resolve through the extension window
+    ether_idx = INJECT_NAMES.index("dimethyl ether")
+    assert by_doc[ether_idx]["match"] == "dimethyl ether"
+    assert by_doc[ether_idx]["smiles"] == name_to_smiles("dimethyl ether")
+    ester_idx = INJECT_NAMES.index("methyl ethanoate")
+    assert by_doc[ester_idx]["smiles"] == name_to_smiles("methyl ethanoate")
 
 
 def test_chem_step_group_registered():
