@@ -447,6 +447,12 @@ RETAINED_NAMES = {
     "isoprene": "C=C(C)C=C",
     "glycerol": "OCC(O)CO",
     "urea": "NC(=O)N",
+    "benzoic acid": "OC(=O)c1ccccc1",
+    "benzaldehyde": "O=Cc1ccccc1",
+    "benzamide": "NC(=O)c1ccccc1",
+    "benzonitrile": "N#Cc1ccccc1",
+    "anisole": "COc1ccccc1",
+    "benzyl alcohol": "OCc1ccccc1",
 }
 
 # retained substituent prefixes → (SMILES, attachment atom index in parse order)
@@ -960,7 +966,11 @@ def _name_to_mol_core(name: str) -> Mol | None:
 
 # functional-class nomenclature: "<groups> <class word>" (P-66 style);
 # class word -> (required group count, assembler)
-_ESTER_RETAINED = {"acetate": "acetic acid", "formate": "formic acid"}
+_ESTER_RETAINED = {
+    "acetate": "acetic acid",
+    "formate": "formic acid",
+    "benzoate": "benzoic acid",
+}
 
 
 def _parse_group_words(words: list[str]) -> list[_Substituent] | None:

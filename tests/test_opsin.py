@@ -368,3 +368,55 @@ def test_functional_class_rejects_malformed():
         "methyl xyzoate",
     ]:
         assert name_to_smiles(bad) is None, bad
+
+
+def test_retained_aromatic_names_and_benzoate():
+    for name, smiles in [
+        ("benzoic acid", "OC(=O)c1ccccc1"),
+        ("methyl benzoate", "COC(=O)c1ccccc1"),
+        ("ethyl benzoate", "CCOC(=O)c1ccccc1"),
+        ("benzaldehyde", "O=Cc1ccccc1"),
+        ("benzonitrile", "N#Cc1ccccc1"),
+        ("anisole", "COc1ccccc1"),
+        ("benzyl alcohol", "OCc1ccccc1"),
+    ]:
+        assert name_to_smiles(name) == canonical_smiles(parse_smiles(smiles)), name
+    # anisole == methoxybenzene (retained vs substitutive)
+    assert name_to_smiles("anisole") == name_to_smiles("methoxybenzene")
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_canonical_invariant_under_atom_permutation(data):
+    """The CANGEN core promise: relabelling atoms of the same random
+    molecule never changes the canonical string.  Random trees with
+    mixed elements/bond orders, built in two different atom orders."""
+    import random as _random
+
+    n = data.draw(st.integers(2, 14))
+    seed = data.draw(st.integers(0, 10_000))
+    rng = _random.Random(seed)
+    # random tree: parent[i] < i; carbon backbone + decorations
+    parents = [rng.randrange(i) for i in range(1, n)]
+    elements = ["C"] + [rng.choice("CCCCNOS") for _ in range(n - 1)]
+    orders = [rng.choice([1, 1, 1, 2]) for _ in range(n - 1)]
+
+    def build(perm):
+        mol = Mol()
+        idx = {}
+        for orig in perm:
+            idx[orig] = mol.add_atom(elements[orig])
+        for child in range(1, n):
+            mol.add_bond(idx[parents[child - 1]], idx[child], orders[child - 1])
+        return mol
+
+    from kazu_ray.functions.iupac import Mol, ParseError
+
+    perm = list(range(n))
+    rng.shuffle(perm)
+    try:
+        c1 = canonical_smiles(build(list(range(n))))
+    except ParseError:
+        return  # random valences can exceed limits; nothing to compare
+    c2 = canonical_smiles(build(perm))
+    assert c1 == c2
