@@ -420,3 +420,49 @@ def test_canonical_invariant_under_atom_permutation(data):
         return  # random valences can exceed limits; nothing to compare
     c2 = canonical_smiles(build(perm))
     assert c1 == c2
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_canonical_invariant_with_rings(data):
+    """Permutation invariance for CYCLIC molecules: the ring-closure
+    digit assignment must not leak input order into the canonical
+    string (random tree + 1-2 extra carbon-carbon edges)."""
+    import random as _random
+
+    from kazu_ray.functions.iupac import Mol, ParseError
+
+    n = data.draw(st.integers(4, 12))
+    seed = data.draw(st.integers(0, 10_000))
+    rng = _random.Random(seed)
+    parents = [rng.randrange(i) for i in range(1, n)]
+    extra = []
+    for _ in range(rng.randint(1, 2)):
+        a, b = rng.sample(range(n), 2)
+        extra.append((min(a, b), max(a, b)))
+
+    def build(perm):
+        mol = Mol()
+        idx = {}
+        for orig in perm:
+            idx[orig] = mol.add_atom("C")
+        for child in range(1, n):
+            mol.add_bond(idx[parents[child - 1]], idx[child], 1)
+        for a, b in extra:
+            key = (min(idx[a], idx[b]), max(idx[a], idx[b]))
+            if key not in mol.bonds:
+                mol.add_bond(*key, 1)
+        return mol
+
+    perm = list(range(n))
+    rng.shuffle(perm)
+    try:
+        c1 = canonical_smiles(build(list(range(n))))
+    except ParseError:
+        return
+    try:
+        c2 = canonical_smiles(build(perm))
+    except ParseError:
+        # the permuted build can only fail if the original did too
+        raise AssertionError("permuted build failed where original parsed")
+    assert c1 == c2
