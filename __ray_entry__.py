@@ -170,6 +170,12 @@ def _q_quality_filter(sf_dir: str):
     return q_quality_filter(sf_dir)
 
 
+def _q_rare_tokens(sf_dir: str):
+    from kazu_ray.extras.quality import q_rare_tokens
+
+    return q_rare_tokens(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dedup import (
         q_embedding_neardup,
@@ -241,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-n-gram repetition character fractions
         "quality_signals": _q_quality_signals,
         "quality_filter": _q_quality_filter,
+        # corpus-relative rare-token density (CCNet-style, integer space)
+        "rare_tokens": _q_rare_tokens,
         # cross-doc duplicated-passage fractions (Lee et al. 2022 style
         # substring dedup via k-gram exchange)
         "dup_passages": _q_dup_passages,
@@ -323,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.quality import (
         quality_filter_oracle_sql,
         quality_signals_oracle_sql,
+        rare_tokens_oracle_sql,
     )
     from kazu_ray.stages.mutation_ner import mutation_oracle_sql
     from kazu_ray.stages.pattern_ner import pattern_oracle_sql
@@ -332,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_entities": pattern_oracle_sql(),
         "quality_signals": quality_signals_oracle_sql(),
         "quality_filter": quality_filter_oracle_sql(),
+        "rare_tokens": rare_tokens_oracle_sql(),
         "dup_passages": dup_passages_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(),
         "bpe_token_count": bpe_token_count_oracle_sql(),

@@ -313,3 +313,133 @@ def quality_filter_oracle_sql() -> str:
                CASE {case} ELSE '' END AS reason
         FROM sig ORDER BY doc_id
     """
+
+
+# --------------------------------------------------- corpus-relative signal
+
+# a token is 'rare' if its corpus count is <= this.  The published
+# CCNet-style setting for web text would be a small absolute count; the
+# synthetic corpus is a closed 31-word vocabulary (min count 26 at
+# sf0.01), so the queryable surface uses a count threshold that lands
+# inside its frequency distribution to keep the signal discriminative.
+RARE_THRESHOLD = 100
+
+RARE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_rare", pa.int64()),
+        ("rare_frac", pa.float64()),
+    ]
+)
+
+
+def rare_token_ratio(docs_ds, threshold: int = RARE_THRESHOLD,
+                     num_partitions: int | None = None):
+    """Corpus-relative quality signal: per-doc fraction of token
+    OCCURRENCES whose global corpus frequency is <= threshold (the
+    frequency-filtering idea of CCNet-style cleanup, in integer space
+    so the oracle is bit-exact — no cross-engine log()).
+
+    Same two-exchange shape as extras/passages.py: token occurrences
+    exchange on hash(token) so each partition holds every copy of its
+    tokens (counts exact), emits per-doc partials, then a doc-keyed
+    coarse merge with one final division."""
+    import polars as pl
+
+    from ..context import shuffle_partitions as _sp
+
+    nparts = num_partitions or _sp()
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            ws=pl.col("text").str.extract_all(_WORD_RE)
+        )
+        out = (
+            df.select("doc_id", "ws")
+            .explode("ws")
+            .drop_nulls("ws")
+            .rename({"ws": "token"})
+            .with_columns(
+                part=(pl.col("token").hash(seed=5) % nparts).cast(pl.Int64)
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("token", pa.string()),
+                 ("part", pa.int64())]
+            )
+        )
+
+    def count_part(group) -> "object":
+        df = pl.from_pandas(group[["doc_id", "token"]])
+        partial = (
+            df.with_columns(
+                rare=(pl.col("token").count().over("token") <= threshold)
+                .cast(pl.Int64)
+            )
+            .group_by("doc_id")
+            .agg(
+                n_tokens=pl.len().cast(pl.Int64),
+                n_rare=pl.col("rare").sum().cast(pl.Int64),
+            )
+            .with_columns(
+                dpart=(pl.col("doc_id").hash(seed=9) % nparts).cast(pl.Int64)
+            )
+        )
+        return partial.to_pandas()
+
+    def merge_doc(group) -> "object":
+        df = (
+            pl.from_pandas(group[["doc_id", "n_tokens", "n_rare"]])
+            .group_by("doc_id")
+            .agg(pl.col("n_tokens").sum(), pl.col("n_rare").sum())
+            .with_columns(rare_frac=pl.col("n_rare") / pl.col("n_tokens"))
+            .select("doc_id", "n_tokens", "n_rare", "rare_frac")
+        )
+        return df.to_pandas()
+
+    return (
+        docs_ds.map_batches(tokens, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(merge_doc, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(RARE_SCHEMA.names).cast(RARE_SCHEMA),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_rare_tokens(sf_dir: str):
+    import ray.data as rd
+
+    from ..context import input_bytes, shuffle_partitions as _sp
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return rare_token_ratio(
+        ds,
+        num_partitions=_sp(
+            estimated_bytes=input_bytes(f"{sf_dir}/documents.parquet") * 4
+        ),
+    ).sort("doc_id")
+
+
+def rare_tokens_oracle_sql(threshold: int = RARE_THRESHOLD) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '{_WORD_RE}')) AS token
+          FROM documents
+        ),
+        c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (c.cnt <= {threshold}) AS BIGINT) AS n_rare,
+               CAST(COUNT(*) FILTER (c.cnt <= {threshold}) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+        FROM t JOIN c USING (token)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """

@@ -126,3 +126,32 @@ def test_duckdb_parity_adversarial():
         import pandas.testing as pt
 
         pt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rare_token_ratio_fixture(ray_session):
+    """Hand-built corpus: 'zzz' occurs once (rare at threshold 1),
+    everything else repeats; counts are CORPUS-global, not per-doc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.quality import rare_token_ratio
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                ["common words zzz common", "common words again", "words common"]
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in rare_token_ratio(
+            rd.from_arrow(docs), threshold=1, num_partitions=3
+        ).take_all()
+    }
+    # corpus counts: common=4, words=3, again=1, zzz=1
+    assert got[0]["n_tokens"] == 4 and got[0]["n_rare"] == 1
+    assert got[0]["rare_frac"] == 1 / 4
+    assert got[1]["n_rare"] == 1  # 'again'
+    assert got[2]["n_rare"] == 0
