@@ -229,23 +229,41 @@ def decontaminate(docs_ds, benchmark_grams: set[str], k: int = DEFAULT_K):
 BENCH_MOD = 10  # doc_id % BENCH_MOD == 0 -> 'benchmark' doc (10%)
 
 
+def benchmark_gram_set(sf_dir: str, k: int = DEFAULT_K) -> set[str]:
+    """Distinct word k-grams of the benchmark subset, collected by
+    STREAMING: the corpus is scanned as a Dataset, each batch filters to
+    its benchmark rows and emits per-batch-distinct grams, and only
+    those gram strings ever reach the driver.  Driver memory is bounded
+    by the benchmark gram set (eval-suite-sized by construction), never
+    by the corpus — the full documents table is never materialized."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        bid = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array((bid % BENCH_MOD) == 0))
+        if sub.num_rows == 0:
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        g = _doc_grams_batch(sub, k, nparts=1)
+        return pa.table({"gram": pc.unique(g.column("gram"))})
+
+    out: set[str] = set()
+    for batch in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.update(batch.column("gram").to_pylist())
+    return out
+
+
 def q_decontaminate(sf_dir: str, k: int = DEFAULT_K):
     """Queryable surface: docs with doc_id % BENCH_MOD == 0 act as the
     'benchmark' set (deterministic stand-in for an eval suite); every
     OTHER doc is scored for k-gram overlap against it."""
-    import numpy as np
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    # the benchmark subset is bounded (1% of docs here; a real eval
-    # suite in production) — a driver-side read of just that subset is
-    # the sanctioned small-side pattern
-    full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
-    bench_tbl = full.filter(pa.array((ids % BENCH_MOD) == 0))
-    bench_grams = set(
-        _doc_grams_batch(bench_tbl, k, nparts=1).column("gram").to_pylist()
-    )
+    bench_grams = benchmark_gram_set(sf_dir, k)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 

@@ -341,10 +341,13 @@ def rare_token_ratio(docs_ds, threshold: int = RARE_THRESHOLD,
     frequency-filtering idea of CCNet-style cleanup, in integer space
     so the oracle is bit-exact — no cross-engine log()).
 
-    Same two-exchange shape as extras/passages.py: token occurrences
-    exchange on hash(token) so each partition holds every copy of its
-    tokens (counts exact), emits per-doc partials, then a doc-keyed
-    coarse merge with one final division."""
+    Same two-exchange shape as extras/passages.py, WITH a combiner: each
+    batch pre-aggregates token occurrences to (doc_id, token, n) before
+    the hash(token) exchange, so the all-to-all ships one row per
+    DISTINCT doc-token pair instead of one per occurrence (the corpus
+    token count).  Each partition still holds every copy of its tokens
+    — the corpus count is the sum of the shipped ``n`` partials — so
+    the rare flag and per-doc fractions stay bit-exact."""
     import polars as pl
 
     from ..context import shuffle_partitions as _sp
@@ -360,6 +363,9 @@ def rare_token_ratio(docs_ds, threshold: int = RARE_THRESHOLD,
             .explode("ws")
             .drop_nulls("ws")
             .rename({"ws": "token"})
+            # combiner: occurrences -> (doc_id, token, n) before shuffle
+            .group_by("doc_id", "token")
+            .agg(n=pl.len().cast(pl.Int64))
             .with_columns(
                 part=(pl.col("token").hash(seed=5) % nparts).cast(pl.Int64)
             )
@@ -367,21 +373,22 @@ def rare_token_ratio(docs_ds, threshold: int = RARE_THRESHOLD,
         return out.to_arrow().cast(
             pa.schema(
                 [("doc_id", pa.int64()), ("token", pa.string()),
-                 ("part", pa.int64())]
+                 ("n", pa.int64()), ("part", pa.int64())]
             )
         )
 
     def count_part(group) -> "object":
-        df = pl.from_pandas(group[["doc_id", "token"]])
+        df = pl.from_pandas(group[["doc_id", "token", "n"]])
         partial = (
             df.with_columns(
-                rare=(pl.col("token").count().over("token") <= threshold)
-                .cast(pl.Int64)
+                rare=(pl.col("n").sum().over("token") <= threshold)
             )
             .group_by("doc_id")
             .agg(
-                n_tokens=pl.len().cast(pl.Int64),
-                n_rare=pl.col("rare").sum().cast(pl.Int64),
+                n_tokens=pl.col("n").sum().cast(pl.Int64),
+                n_rare=pl.col("n").filter(pl.col("rare")).sum()
+                .fill_null(0)
+                .cast(pl.Int64),
             )
             .with_columns(
                 dpart=(pl.col("doc_id").hash(seed=9) % nparts).cast(pl.Int64)
