@@ -126,6 +126,65 @@ def _inject(doc_id: int, text: str) -> str:
     return text
 
 
+FLAT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("match", pa.string()), ("mutation_type", pa.string())]
+)
+
+
+def mutations_flat(batch: pa.Table, inject: bool = False) -> pa.Table:
+    """Vectorized (polars) flat extraction: (doc_id, match, mutation_type).
+
+    The alternation is RE2-safe by construction, so the SAME pattern
+    string runs under Python ``re`` (entity path), polars' Rust regex
+    (this path — leftmost-first alternation like ``re``) and DuckDB
+    (the oracle).  ``inject=True`` applies the deterministic corpus
+    injection as a vectorized string expression identical to
+    ``_inject``."""
+    import polars as pl
+
+    from ..functions.mutations import CLASSIFY_RULES, MUTATION_REGEX, T_SUB
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    scanned = pl.col("text")
+    if inject:
+        r = pl.col("doc_id") % 4
+        scanned = (
+            pl.when(r == 0)
+            .then(
+                pl.col("text")
+                + pl.lit(" Known variant rs")
+                + (pl.col("doc_id") * 7 + 11).cast(pl.Utf8)
+                + pl.lit(" and V600E were detected.")
+            )
+            .when(r == 1)
+            .then(
+                pl.col("text")
+                + pl.lit(" Carrier of c.")
+                + (pl.col("doc_id") + 100).cast(pl.Utf8)
+                + pl.lit("A>G plus p.Val600Glu mutation.")
+            )
+            .when(r == 2)
+            .then(
+                pl.col("text")
+                + pl.lit(" Frameshift Arg97fs with deletion c.76_78delACT reported.")
+            )
+            .otherwise(pl.col("text"))
+        )
+    cls = None
+    for rx, t in CLASSIFY_RULES:
+        cond = pl.col("match").str.contains(rx)
+        cls = pl.when(cond).then(pl.lit(t)) if cls is None else cls.when(cond).then(pl.lit(t))
+    cls = cls.otherwise(pl.lit(T_SUB))
+    out = (
+        df.with_columns(match=scanned.str.extract_all(MUTATION_REGEX))
+        .select("doc_id", "match")
+        .explode("match")
+        .drop_nulls("match")
+        .with_columns(mutation_type=cls)
+    )
+    return out.to_arrow().cast(FLAT_SCHEMA)
+
+
 def q_mutation_mentions(sf_dir: str):
     """Flat mutation-mention table over the documents corpus (with the
     deterministic injection above) — the SethStep queryable surface."""
@@ -133,11 +192,9 @@ def q_mutation_mentions(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
-        lambda b: mutations_batch(b, text_fn=_inject), batch_format="pyarrow"
+        lambda b: mutations_flat(b, inject=True), batch_format="pyarrow"
     )
-    return out.select_columns(["doc_id", "match", "mutation_type"]).sort(
-        ["doc_id", "match", "mutation_type"]
-    )
+    return out.sort(["doc_id", "match", "mutation_type"])
 
 
 def mutation_oracle_sql() -> str:

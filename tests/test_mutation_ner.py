@@ -206,3 +206,28 @@ def test_oracle_query_parity_small(ray_session, tmp_path):
         sql_out.astype(ray_out.dtypes.to_dict()).reset_index(drop=True),
     )
     assert len(ray_out) > 0
+
+
+def test_mutations_flat_matches_per_row_path():
+    """The vectorized polars path must agree with the per-row `re` path
+    (same pattern string, both leftmost-first) — including injection."""
+    from kazu_ray.stages.mutation_ner import _inject, mutations_flat
+
+    texts = [
+        "V600E plus rs42 here",
+        "Carrier of c.1799T>A and p.Val600Glu; also Arg97fs.",
+        "deletion c.76_78delACT, insertion c.51_52insT, dup c.88dupA",
+        "nothing to see",
+        "IVS2+1G>A boundary rs7 edge rsX non-hit",
+    ]
+    batch = pa.table({"doc_id": list(range(5)), "text": texts})
+    for inject in (False, True):
+        fn = _inject if inject else None
+        slow = mutations_batch(batch, text_fn=fn)
+        fast = mutations_flat(batch, inject=inject)
+        assert fast.column("doc_id").to_pylist() == slow.column("doc_id").to_pylist()
+        assert fast.column("match").to_pylist() == slow.column("match").to_pylist()
+        assert (
+            fast.column("mutation_type").to_pylist()
+            == slow.column("mutation_type").to_pylist()
+        )
