@@ -136,6 +136,111 @@ def q_sessions_equivalence(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_embedding_eval(sf_dir: str = "") -> pd.DataFrame:
+    """P/R of the real-weights string embedder (tiny trained checkpoint
+    through the numpy-BERT forward) on the frozen labeled pair set
+    (kazu_ray/assets/embed_eval_pairs.csv) at the SapBERT confirmation
+    threshold 0.60 (reference strategies.py:457-528).  The positive
+    pairs include zero-lexical-overlap synonyms ("aspirin" /
+    "acetylsalicylic acid") that only real trained weights can score
+    high — any regression in the forward, tokenizer, loader, or
+    projection head changes the cosines and fails the gate.  Fixture-
+    based by design; sf_dir is unused."""
+    import csv
+    import os
+
+    from kazu_ray.state.embedder import EMBED_CHECKPOINT, default_embedder
+
+    emb = default_embedder()
+    pairs_csv = os.path.join(os.path.dirname(EMBED_CHECKPOINT), "embed_eval_pairs.csv")
+    tp = fp = fn = tn = 0
+    with open(pairs_csv, newline="") as f:
+        for row in csv.DictReader(f):
+            pred = emb.similarity(row["string_a"], row["string_b"]) >= 0.60
+            truth = row["is_similar"] == "1"
+            tp += pred and truth
+            fp += pred and not truth
+            fn += (not pred) and truth
+            tn += (not pred) and (not truth)
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    return pd.DataFrame(
+        {
+            "precision": [round(precision, 6)],
+            "recall": [round(recall, 6)],
+            "n_pairs": [tp + fp + fn + tn],
+            "gate": [1.0],
+            "passes": [precision == 1.0 and recall == 1.0],
+        }
+    )
+
+
+def q_chem_parity(sf_dir: str = "") -> pd.DataFrame:
+    """Exact-match fraction of the IUPAC→SMILES engine vs the frozen
+    expected table (kazu_ray/assets/chem_expected.csv — canonical
+    SMILES for the test vectors + injection corpus, incl. the
+    deliberately-unparseable row).  Fixture-based; sf_dir unused."""
+    import csv
+    import os
+
+    from kazu_ray.functions.iupac import name_to_smiles
+
+    expected_csv = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "chem_expected.csv",
+    )
+    n = ok = 0
+    with open(expected_csv, newline="") as f:
+        for row in csv.DictReader(f):
+            got = name_to_smiles(row["name"])
+            n += 1
+            ok += (got if got is not None else "") == row["smiles"]
+    return pd.DataFrame(
+        {
+            "exact_match_frac": [round(ok / max(1, n), 6)],
+            "n_names": [n],
+            "gate": [1.0],
+            "passes": [ok == n],
+        }
+    )
+
+
+def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
+    """One row per quality gate — recall / equivalence / parity metrics
+    behind the approximate and non-SQL-expressible operators, folded
+    into a single query so every gate lands in the driver's CORRECTNESS
+    file each round (the driver records the first 50 queries; one
+    consolidated metrics query keeps the full oracle-checked surface
+    inside that budget)."""
+    rows: list[tuple[str, float, float, bool]] = []
+
+    def add(metric: str, value, gate, passes):
+        rows.append((metric, float(value), float(gate), bool(passes)))
+
+    m = q_minhash_recall(sf_dir).iloc[0]
+    add("minhash_recall", m["recall"], m["gate"], m["passes"])
+    m = q_ivf_recall(sf_dir).iloc[0]
+    add("ivf_recall", m["recall"], m["gate"], m["passes"])
+    add("ivf_max_cosine_err", m["max_cosine_err"], 1e-9, m["max_cosine_err"] < 1e-9)
+    m = q_lsh_recall(sf_dir).iloc[0]
+    add("lsh_recall", m["recall"], m["gate"], m["passes"])
+    m = q_sessions_equivalence(sf_dir).iloc[0]
+    add("sessions_equivalence", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_neardup_cc_equivalence(sf_dir).iloc[0]
+    add("neardup_cc_equivalence", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    from .sketches import q_quantile_accuracy
+
+    m = q_quantile_accuracy(sf_dir).iloc[0]
+    add("quantile_max_rel_err", m["max_rel_err"], m["gate"], m["passes"])
+    m = q_embedding_eval(sf_dir).iloc[0]
+    add("embedding_eval_precision", m["precision"], m["gate"], m["passes"])
+    add("embedding_eval_recall", m["recall"], m["gate"], m["passes"])
+    m = q_chem_parity(sf_dir).iloc[0]
+    add("chem_exact_match_frac", m["exact_match_frac"], m["gate"], m["passes"])
+    return pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
+
+
 def q_neardup_cc_equivalence(sf_dir: str) -> pd.DataFrame:
     """Component-partition equality of the dataset-native label-prop
     connected-components path vs the bounded driver union-find path on

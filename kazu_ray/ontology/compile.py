@@ -36,7 +36,7 @@ from ..constants import (
     PROBABLE,
 )
 from ..functions.normalize import classify_symbolic, normalize
-from ..state.embedder import HashedNgramEmbedder
+from ..state.embedder import default_embedder
 from .synth import find_kb, metadata_frame, synonym_frame
 
 SYNONYM_MERGE_THRESHOLD = 0.70  # reference base.py synonym_merge_threshold
@@ -71,7 +71,7 @@ def score_and_group_ids(
     ids_and_source: set[tuple[str, str]],
     is_symbolic: bool,
     labels_by_idx: dict[str, str],
-    scorer: HashedNgramEmbedder,
+    scorer,
 ) -> tuple[list[list[tuple[str, str]]], str]:
     """Cluster the ids behind one normalized synonym into equivalent-id sets.
 
@@ -179,7 +179,9 @@ class _ResolveGroups:
 
     def __init__(self, labels_by_idx: dict[str, str], grouping: dict | None = None):
         self.labels_by_idx = labels_by_idx
-        self.scorer = HashedNgramEmbedder()
+        # real-weights embedding scorer (SapBERT role in the reference's
+        # default score_and_group_ids, base.py:895-997)
+        self.scorer = default_embedder()
         # jsonl-parser build-time grouping hints (parsers.grouping_hints):
         # {"modes": {parser: "xref"|"label"}, "xrefs": {(parser, idx): set}}
         self.group_modes = (grouping or {}).get("modes", {})

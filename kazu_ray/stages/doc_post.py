@@ -54,7 +54,7 @@ from ..constants import (
 from ..functions.normalize import normalize
 from ..functions.tokens import Token, tokenize
 from ..schemas import ENTITIES_COLUMN
-from ..state.embedder import HashedNgramEmbedder
+from ..state.embedder import HashedNgramEmbedder, default_embedder
 from ..state.side_tables import SynRecord, load_metadata, load_synonyms
 
 # merge preference, reference conf/MergeOverlappingEntsStep/default.yaml
@@ -250,10 +250,16 @@ class MappingCascade:
         embedder: HashedNgramEmbedder,
         id_contexts: dict | None = None,
         use_nearest_embedding_fallback: bool = False,
+        string_embedder=None,
     ):
         self.synonyms = synonyms
         self.metadata = metadata
+        # ``embedder`` is the CONTEXT vectorizer (TF-IDF stand-in for the
+        # reference's TfIdf/GildaTfIdf disambiguation strategies);
+        # ``string_embedder`` is the SapBERT-role string scorer (real
+        # trained tiny checkpoint) used by PreferNearestEmbedding
         self.embedder = embedder
+        self.string_embedder = string_embedder or embedder
         # PreferNearestEmbeddingToDefaultLabel is opt-in, mirroring the
         # reference where it is an available-but-not-default strategy
         # (conf/DisambiguationStrategies/default.yaml has no entry for it)
@@ -310,7 +316,7 @@ class MappingCascade:
             for item in s:
                 idx, _src = item
                 label = self.metadata.get((parser, idx), {}).get("default_label", "")
-                scored.append((self.embedder.similarity(ent_match, label), item))
+                scored.append((self.string_embedder.similarity(ent_match, label), item))
         if not scored:
             return None
         top = max(sc for sc, _ in scored)
@@ -642,6 +648,7 @@ class DocPostProcessor:
         self.synonyms = load_synonyms(synonyms_path)
         self.metadata = load_metadata(metadata_path)
         self.embedder = HashedNgramEmbedder()
+        self.string_embedder = default_embedder()
         id_contexts = None
         if contexts_path:
             import pyarrow.parquet as _pq
@@ -656,6 +663,7 @@ class DocPostProcessor:
             self.embedder,
             id_contexts=id_contexts,
             use_nearest_embedding_fallback=use_nearest_embedding_fallback,
+            string_embedder=self.string_embedder,
         )
         # rules-based entity-class disambiguation filter (runs before the
         # cascade, mirroring the reference default step order); no-op

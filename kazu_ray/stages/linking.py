@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..functions.similarity_scorers import DEFAULT_CLASS_SCORERS, apply_boolean_scorers
 from ..schemas import ENTITIES_COLUMN
-from ..state.embedder import HashedNgramEmbedder
+from ..state.embedder import default_embedder
 from ..state.side_tables import load_synonyms
 from ..state.tfidf import build_indices
 
@@ -40,7 +40,9 @@ class TfIdfLinker:
     ):
         self.synonyms = load_synonyms(synonyms_path)
         self.indices = build_indices(synonyms_path)
-        self.embedder = HashedNgramEmbedder()
+        # real-weights SapBERT analogue (tiny trained checkpoint through
+        # the numpy-BERT forward) for fuzzy-hit confirmation
+        self.embedder = default_embedder()
         # per-class boolean gates on fuzzy hits (reference
         # link_index.py:113-121 + conf/StringScorers/default.yaml)
         self.class_scorers = (

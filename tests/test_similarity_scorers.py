@@ -109,13 +109,25 @@ def test_linker_boolean_gate_filters_number_mismatch(ray_session, tmp_path):
         for c in TfIdfLinker(out.synonyms_path).link_one(query, match_norm, "disease")
     }
     assert right in gated and wrong not in gated
-    # without the gate the number-mismatched candidate WOULD surface
-    ungated = {
+    # layered defense: even without the boolean gate, the real-weights
+    # embedding confirmation now ALSO rejects the number mismatch
+    embed_only = {
         c["term_norm"]
         for c in TfIdfLinker(out.synonyms_path, class_scorers={}).link_one(
             query, match_norm, "disease"
         )
     }
+    assert wrong not in embed_only
+
+    # isolate the boolean gate: with a permissive embedder and no
+    # scorers the number-mismatched candidate WOULD surface
+    class _Permissive:
+        def similarity(self, a, b):
+            return 1.0
+
+    linker = TfIdfLinker(out.synonyms_path, class_scorers={})
+    linker.embedder = _Permissive()
+    ungated = {c["term_norm"] for c in linker.link_one(query, match_norm, "disease")}
     assert wrong in ungated
     assert DEFAULT_CLASS_SCORERS["gene"] and DEFAULT_CLASS_SCORERS["disease"]
 
