@@ -40,6 +40,27 @@ def _timed(fn):
     return round(time.perf_counter() - t0, 3)
 
 
+def _timed_min(fn, repeats: int = 2):
+    """Best-of-n wall time: the sandbox host shows multi-second
+    hypervisor-steal noise between runs, and the per-run MINIMUM is the
+    stable estimator (VERDICT r3 item #5 — driver-recorded per-query
+    numbers must be interpretable without calm-window re-runs)."""
+    return min(_timed(fn) for _ in range(repeats))
+
+
+def _calibrate(seconds: float = 1.0) -> float:
+    """Single-process busy-loop iterations/sec — a host-noise probe
+    recorded alongside the bench numbers so a steal-heavy window is
+    visible in the artifact itself."""
+    t0 = time.perf_counter()
+    x = 0
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        n += 1
+    return round(n / (time.perf_counter() - t0), 0)
+
+
 def run_bench() -> dict:
     import ray
     import ray.data as rd
@@ -68,6 +89,7 @@ def run_bench() -> dict:
     from kazu_ray.context import tune_context
 
     tune_context()
+    calib_before = _calibrate()
     dicts = entrymod._dicts()
 
     # corpus synthesis is input preparation, not pipeline work: build the
@@ -120,7 +142,7 @@ def run_bench() -> dict:
                  "json_props", "bpe_token_count", "lsh_topk",
                  "label_centroids"):
         try:
-            queries[name] = _timed(lambda n=name: q[n](SF_DIR).count())
+            queries[name] = _timed_min(lambda n=name: q[n](SF_DIR).count())
         except Exception as exc:  # record, don't die
             queries[name] = f"error: {exc}"
 
@@ -138,7 +160,7 @@ def run_bench() -> dict:
         cfg = PipelineConfig.from_group(
             "full", concurrency=pool, transformer_tagger=TINY_BERT_NER
         )
-        t_tr = _timed(lambda: build_pipeline(tdocs, dicts, cfg).count())
+        t_tr = _timed_min(lambda: build_pipeline(tdocs, dicts, cfg).count())
         queries["transformer_annotate"] = t_tr
         queries["transformer_docs_per_sec"] = (
             round(n_tdocs / t_tr, 1) if t_tr else None
@@ -152,10 +174,12 @@ def run_bench() -> dict:
         from kazu_ray.ontology.synth import large_synonym_frame
 
         big = large_synonym_frame(20_000)
-        with tempfile.TemporaryDirectory() as td:
-            queries["dict_compile_100k_rows"] = _timed(
-                lambda: compile_dictionaries(td, source_df=big)
-            )
+
+        def compile_once():
+            with tempfile.TemporaryDirectory() as td:
+                compile_dictionaries(td, source_df=big)
+
+        queries["dict_compile_100k_rows"] = _timed_min(compile_once)
 
     result = {
         "metric": "kg_pipeline_sec_sf" + SF_DIR.rsplit("sf", 1)[-1],
@@ -166,6 +190,9 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+        # host-noise probes: a steal-heavy window shows up as a large
+        # before/after spread or a low absolute value (calm ~= equal)
+        "calibration_ops_per_sec": [calib_before, _calibrate()],
     }
     ray.shutdown()
     return result

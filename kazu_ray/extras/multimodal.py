@@ -17,9 +17,14 @@ stage:
   frame exploded to its own row — the layout/batching contract of a
   decode-bound GPU stage)
 
-Full pixel decode (PIL/ffmpeg) is the only stubbed seam —
-``RealDecoder`` raises, documented; swap it in on a cluster with codecs
-and nothing else changes.
+Pixel/sample decode is REAL for the pure-python-decodable formats:
+:func:`decode_png` (zlib inflate + PNG unfiltering per the spec §9,
+8-bit grayscale/RGB), :func:`decode_bmp` (uncompressed 8/24-bit, padded
+bottom-up rows), :func:`decode_wav_pcm` (16-bit PCM samples) — byte-level
+golden-tested, and :class:`MediaFeatureExtractor` computes its features
+from the DECODED pixels/samples for those formats.  Only codec-bound
+formats (JPEG entropy decode, GIF LZW, video codecs) remain behind the
+documented ``RealDecoder`` seam.
 """
 
 from __future__ import annotations
@@ -120,6 +125,154 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A minimal VALID uncompressed 8-bit grayscale BMP (BITMAPFILEHEADER
+    + BITMAPINFOHEADER + 256-entry grayscale palette + bottom-up
+    4-byte-padded pixel rows) — a fully pure-python-decodable format."""
+    rng = np.random.default_rng(seed)
+    row_size = (width + 3) & ~3
+    pixels = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    rows = b"".join(
+        pixels[y].tobytes() + b"\x00" * (row_size - width)
+        for y in range(height - 1, -1, -1)  # bottom-up storage
+    )
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(rows), 2835, 2835, 256, 0
+    )
+    header = b"BM" + struct.pack("<IHHI", offset + len(rows), 0, 0, offset)
+    return header + info + palette + rows
+
+
+def decode_bmp(data: bytes) -> np.ndarray | None:
+    """REAL uncompressed-BMP pixel decode (pure numpy): returns (h, w)
+    uint8 for 8-bit, (h, w, 3) RGB for 24-bit; None if compressed or an
+    unsupported depth.  Handles bottom-up and top-down row order and
+    the 4-byte row padding of the BMP spec."""
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    offset = struct.unpack("<I", data[10:14])[0]
+    width, height = struct.unpack("<ii", data[18:26])
+    bits = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0 or bits not in (8, 24) or width <= 0:
+        return None
+    flip = height > 0  # positive height = bottom-up
+    height = abs(height)
+    row_size = ((bits * width + 31) // 32) * 4
+    raw = np.frombuffer(data, np.uint8, count=row_size * height, offset=offset)
+    rows = raw.reshape(height, row_size)
+    if flip:
+        rows = rows[::-1]
+    if bits == 8:
+        return np.ascontiguousarray(rows[:, :width])
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+def decode_png(data: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode for 8-bit grayscale / RGB, no interlace:
+    chunk walk -> zlib inflate -> per-scanline unfiltering (filters 0-4
+    incl. Paeth, PNG spec §9).  None for palette/alpha/16-bit images."""
+    if data[:8] != _PNG_SIG:
+        return None
+    i = 8
+    width = height = None
+    idat = b""
+    channels = 0
+    while i + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                return None
+            channels = 1 if color == 0 else 3
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if width is None or not idat:
+        return None
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = line[0]
+        cur = np.frombuffer(line, np.uint8, count=stride, offset=1).astype(np.int32)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left value
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else b if pb_ <= pc_ else c
+                else:
+                    return None
+                rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(height, width) if channels == 1 else out.reshape(
+        height, width, 3
+    )
+
+
+def decode_wav_pcm(data: bytes) -> np.ndarray | None:
+    """REAL 16-bit PCM sample decode from a RIFF/WAV payload: returns an
+    (n_samples, channels) int16 array; None for non-PCM or non-16-bit."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt_code = channels = bits = None
+    body = None
+    while i + 8 <= len(data):
+        tag = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if tag == b"fmt " and size >= 16:
+            fmt_code, channels, _rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", data[i + 8 : i + 24]
+            )
+        elif tag == b"data":
+            body = data[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt_code != 1 or bits != 16 or not channels or body is None:
+        return None
+    n = len(body) // (2 * channels)
+    return np.frombuffer(body, "<i2", count=n * channels).reshape(n, channels)
+
+
+def decode_media(data: bytes) -> np.ndarray | None:
+    """Dispatch to whichever REAL pure-python decoder understands the
+    container; None when only a codec stack could decode it."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:4] == b"RIFF":
+        return decode_wav_pcm(data)
+    return None
+
+
 def parse_audio_header(data: bytes) -> tuple[str, int, int, int] | None:
     """(format, sample_rate, channels, duration_ms) from a real RIFF/WAV
     header — chunk walk over fmt/data, pure stdlib; None for non-WAV."""
@@ -170,12 +323,17 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack("<HH", data[6:10])
         return ("gif", w, h)
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return ("bmp", w, abs(h))
     return None
 
 
 class RealDecoder:
-    """Placeholder for a real codec-backed decoder (PIL / torchvision /
-    ffmpeg).  Not available in this container."""
+    """Placeholder for a codec-backed fetch+decode (PIL / torchvision /
+    ffmpeg) covering the entropy-coded formats (JPEG scan data, GIF LZW,
+    video codecs).  Not available in this container; PNG/BMP/WAV-PCM
+    decode IS real here via :func:`decode_media`."""
 
     def decode(self, media_ref: str) -> bytes:
         raise NotImplementedError(
@@ -190,9 +348,10 @@ FRAME_BYTES = 64  # fixed synthetic frame size for the video layout
 class FakeDecoder:
     """Deterministic media fetch stand-in keyed by (media_ref, kind):
     image refs yield container-valid image bytes rotating over
-    PNG / JPEG / GIF by ref hash (so all three real header-parse
-    branches are exercised end-to-end, seeded dims 16-128), video refs
-    a fixed-frame-size byte stream, everything else seeded raw bytes."""
+    PNG / JPEG / GIF / BMP by ref hash (so all four real header-parse
+    branches — and the real PNG/BMP pixel-decode paths — are exercised
+    end-to-end, seeded dims 16-128), video refs a fixed-frame-size byte
+    stream, everything else seeded raw bytes."""
 
     def decode(self, media_ref: str, kind: str = "blob") -> bytes:
         seed = int.from_bytes(
@@ -202,7 +361,7 @@ class FakeDecoder:
         if kind == "image":
             w = 16 + int(rng.integers(0, 113))
             h = 16 + int(rng.integers(0, 113))
-            maker = (make_png, make_jpeg, make_gif)[seed % 3]
+            maker = (make_png, make_jpeg, make_gif, make_bmp)[seed % 4]
             return maker(w, h, seed=seed)
         if kind == "video":
             n_frames = 8 + int(rng.integers(0, 25))
@@ -224,9 +383,18 @@ class MediaFeatureExtractor:
         self.decoder = FakeDecoder() if decoder == "fake" else RealDecoder()
 
     def _features(self, payload: bytes) -> list[float]:
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        """Feature vector from REAL decoded pixels/samples when the
+        container is pure-python-decodable (PNG/BMP/WAV-PCM), else from
+        the raw container bytes (codec-bound formats)."""
+        decoded = decode_media(payload)
+        if decoded is not None:
+            arr = decoded.astype(np.float32).ravel()
+            scale = 255.0 if decoded.dtype == np.uint8 else 32768.0
+        else:
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+            scale = 255.0
         chunks = np.array_split(arr, FEATURE_DIM)
-        return [float(round(c.mean() / 255.0, 6)) for c in chunks]
+        return [float(round(c.mean() / scale, 6)) for c in chunks]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, span_idxs, kinds, refs, feats = [], [], [], [], []
