@@ -27,8 +27,12 @@ SENT_STRUCT = pa.struct(
 )
 
 # break after terminal punctuation + whitespace when followed by an
-# uppercase letter, digit or opening bracket
-_BOUNDARY = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9(\"])")
+# uppercase letter, digit or opening bracket; ALSO at the no-space
+# joins common in concatenated PubMed abstracts ("prevalent.Although",
+# "analyses.Objectives:"), recognized by period immediately followed by
+# Uppercase+lowercase (decimals and identifiers like "0.51" / "CYP2C19"
+# never match; abbreviations are suppressed by the shared check)
+_BOUNDARY = re.compile(r"(?<=[.!?])(?:\s+(?=[A-Z0-9(\"])|(?=[A-Z][a-z]))")
 
 # words whose trailing period is (almost) never a sentence end in
 # scholarly/biomedical prose — checked lowercased, period stripped
