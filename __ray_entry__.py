@@ -176,6 +176,12 @@ def _q_rare_tokens(sf_dir: str):
     return q_rare_tokens(sf_dir)
 
 
+def _q_lm_perplexity(sf_dir: str):
+    from kazu_ray.extras.quality import q_lm_perplexity
+
+    return q_lm_perplexity(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dedup import (
         q_embedding_neardup,
@@ -243,6 +249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         # corpus-relative rare-token density (CCNet-style, integer space)
         "rare_tokens": _q_rare_tokens,
+        # CCNet-style LM quality score: per-doc perplexity under a
+        # bounded top-V add-one unigram LM trained on the corpus
+        # (combiner-counts exchange -> bounded broadcast -> streaming
+        # score pass); exact SQL oracle
+        "lm_perplexity": _q_lm_perplexity,
         # cross-doc duplicated-passage fractions (Lee et al. 2022 style
         # substring dedup via k-gram exchange)
         "dup_passages": _q_dup_passages,
@@ -258,10 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank_per_group": q_orders_rank_per_group,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
-        # whale-safe two-phase variant: same oracle, exact equality
-        "events_sessions_bucketed": lambda sf: q_events_sessions(
-            sf, bucket_us=6 * 3600 * 1_000_000
-        ),
+        # (the whale-safe bucketed sessionization variant stays oracle-
+        # equivalent via the sessions_equivalence gate in approx_metrics,
+        # which asserts bucketed == simple on the FULL events table; its
+        # query slot goes to lm_perplexity under the 50-query budget)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_sliding": q_events_sliding,
@@ -322,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         json_props_oracle_sql,
     )
     from kazu_ray.extras.quality import (
+        lm_perplexity_oracle_sql,
         quality_filter_oracle_sql,
         quality_signals_oracle_sql,
         rare_tokens_oracle_sql,
@@ -335,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": quality_signals_oracle_sql(),
         "quality_filter": quality_filter_oracle_sql(),
         "rare_tokens": rare_tokens_oracle_sql(),
+        "lm_perplexity": lm_perplexity_oracle_sql(),
         "dup_passages": dup_passages_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(),
         "bpe_token_count": bpe_token_count_oracle_sql(),
@@ -369,22 +382,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_sessions": """
-            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
-            s AS (
-              SELECT *, CASE WHEN LAG(us) OVER w IS NULL
-                               OR us - LAG(us) OVER w > 1800000000
-                          THEN 1 ELSE 0 END AS brk
-              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
-            ), t AS (
-              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
-                                       ROWS UNBOUNDED PRECEDING) AS sid
-              FROM s
-            )
-            SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
-                   COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
-            FROM t GROUP BY user_id, sid ORDER BY user_id, session_start_us
-        """,
-"events_sessions_bucketed": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
             s AS (
               SELECT *, CASE WHEN LAG(us) OVER w IS NULL

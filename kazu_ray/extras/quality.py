@@ -450,3 +450,202 @@ def rare_tokens_oracle_sql(threshold: int = RARE_THRESHOLD) -> str:
         GROUP BY t.doc_id
         ORDER BY t.doc_id
     """
+
+
+# ----------------------------------------------------------- LM perplexity
+
+LM_VOCAB = 4096  # bounded LM size: the broadcast table is V+1 probabilities
+LM_ALPHA = 1.0  # add-one smoothing; OOV tokens share the zero-count bucket
+
+LM_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("neg_logprob_per_token", pa.float64()),
+        ("ppl", pa.float64()),
+    ]
+)
+
+
+class _LmScorer:
+    """Actor-pool UDF for LM scoring: materializes the broadcast
+    unigram log-prob table ONCE per actor (``ray.get`` of the shared
+    object-store ref in ``__init__``), then scores batches with a
+    vectorized polars join against the V-row table."""
+
+    def __init__(self, lm_ref, lp_oov: float):
+        import polars as pl
+        import ray
+
+        tokens, lps = ray.get(lm_ref)
+        self.lp = pl.DataFrame({"token": tokens, "lp": lps})
+        self.lp_oov = lp_oov
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..functions.rounding import round_half_away
+
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            ws=pl.col("text").str.extract_all(_WORD_RE)
+        )
+        scored = (
+            df.select("doc_id", "ws")
+            .explode("ws")
+            .drop_nulls("ws")
+            .rename({"ws": "token"})
+            .join(self.lp, on="token", how="left")
+            .with_columns(lp=pl.col("lp").fill_null(self.lp_oov))
+            .group_by("doc_id")
+            .agg(
+                n_tokens=pl.len().cast(pl.Int64),
+                s=pl.col("lp").sum(),
+            )
+        )
+        neg = -scored["s"].to_numpy() / scored["n_tokens"].to_numpy()
+        import numpy as np
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": scored["doc_id"].to_arrow(),
+                "n_tokens": scored["n_tokens"].to_arrow(),
+                "neg_logprob_per_token": round_half_away(neg, 4),
+                "ppl": round_half_away(np.exp(neg), 2),
+            },
+            schema=LM_SCHEMA,
+        )
+
+
+def unigram_lm_scores(docs_ds, vocab_size: int = LM_VOCAB,
+                      num_partitions: int | None = None):
+    """CCNet-style LM quality score (Wenzek et al. 2020 use a KenLM
+    5-gram perplexity to rank documents; this is the bounded-vocabulary
+    unigram variant whose oracle is exact SQL): per-document perplexity
+    under an add-one-smoothed top-V unigram LM trained on the corpus
+    itself.
+
+    Scale story (two passes, both streaming):
+
+    1. TRAIN — exact corpus token counts via the repo's standard
+       combiner-before-shuffle (per-batch (token, n) partials, coarse
+       hash(token) exchange, vectorized in-partition sums), then each
+       partition emits only its LOCAL top-V candidates plus one total-
+       occurrence marker row; the driver merge is bounded by
+       partitions × (V+1) rows BY CONSTRUCTION, independent of corpus
+       size, and the resulting LM is a V-row table broadcast once via
+       ``ray.put``.
+    2. SCORE — one streaming ``map_batches`` pass joining each batch's
+       tokens against the broadcast table (OOV → shared smoothed
+       bucket); no shuffle.
+
+    p(w) = (count(w) + 1) / (T + V_eff + 1) for the global top-V_eff
+    tokens, p(oov) = 1 / (T + V_eff + 1), where T is the TOTAL corpus
+    token count.  neg_logprob_per_token = -mean ln p; ppl = exp of it.
+    """
+    import math
+
+    import polars as pl
+    import ray
+
+    from ..context import shuffle_partitions as _sp
+
+    nparts = num_partitions or _sp()
+
+    def token_partials(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"])).with_columns(
+            ws=pl.col("text").str.extract_all(_WORD_RE)
+        )
+        out = (
+            df.select("ws")
+            .explode("ws")
+            .drop_nulls("ws")
+            .rename({"ws": "token"})
+            .group_by("token")
+            .agg(n=pl.len().cast(pl.Int64))
+            .with_columns(part=(pl.col("token").hash(seed=11) % nparts).cast(pl.Int64))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("n", pa.int64()), ("part", pa.int64())])
+        )
+
+    def local_top(group) -> "object":
+        df = (
+            pl.from_pandas(group[["token", "n"]])
+            .group_by("token")
+            .agg(c=pl.col("n").sum().cast(pl.Int64))
+        )
+        total = int(df["c"].sum())
+        top = df.sort(["c", "token"], descending=[True, False]).head(vocab_size)
+        # marker row carries this partition's total occurrence count;
+        # "" can never collide with a real [a-z0-9]+ token
+        marker = pl.DataFrame({"token": [""], "c": [total]}).cast({"c": pl.Int64})
+        return pl.concat([top, marker]).to_pandas()
+
+    counts = (
+        docs_ds.map_batches(token_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(local_top, batch_format="pandas")
+    )
+    # bounded driver merge: <= partitions x (V+1) rows by construction
+    rows = counts.take_all()
+    total = sum(r["c"] for r in rows if r["token"] == "")
+    cand = [(r["token"], r["c"]) for r in rows if r["token"]]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    top = cand[:vocab_size]
+    v_eff = len(top)
+    denom = float(total) + LM_ALPHA * (v_eff + 1)
+    lm_ref = ray.put(
+        (
+            [t for t, _c in top],
+            [math.log((c + LM_ALPHA) / denom) for _t, c in top],
+        )
+    )
+    lp_oov = math.log(LM_ALPHA / denom)
+
+    return docs_ds.map_batches(
+        _LmScorer,
+        fn_constructor_args=(lm_ref, lp_oov),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def q_lm_perplexity(sf_dir: str):
+    import ray.data as rd
+
+    from ..context import input_bytes, shuffle_partitions as _sp
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_lm_scores(
+        ds,
+        num_partitions=_sp(
+            estimated_bytes=input_bytes(f"{sf_dir}/documents.parquet") * 2
+        ),
+    ).sort("doc_id")
+
+
+def lm_perplexity_oracle_sql(vocab_size: int = LM_VOCAB) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '{_WORD_RE}')) AS token
+          FROM documents
+        ),
+        cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT SUM(c) AS t FROM cnt),
+        top AS (
+          SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT {vocab_size}
+        ),
+        veff AS (SELECT COUNT(*) AS v FROM top),
+        scored AS (
+          SELECT tok.doc_id,
+                 ln((COALESCE(top.c, 0) + 1.0) / (tot.t + veff.v + 1.0)) AS lp
+          FROM tok LEFT JOIN top USING (token)
+          CROSS JOIN tot CROSS JOIN veff
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(-AVG(lp), 4) AS neg_logprob_per_token,
+               ROUND(EXP(-AVG(lp)), 2) AS ppl
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """

@@ -155,3 +155,36 @@ def test_rare_token_ratio_fixture(ray_session):
     assert got[0]["rare_frac"] == 1 / 4
     assert got[1]["n_rare"] == 1  # 'again'
     assert got[2]["n_rare"] == 0
+
+
+def test_unigram_lm_fixture(ray_session):
+    """Bounded-vocab unigram LM (CCNet-style perplexity): hand-computed
+    probabilities on a tiny corpus where vocab_size=2 forces the rare
+    token into the shared OOV bucket."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.quality import unigram_lm_scores
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": ["aa bb aa", "aa zz"],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs, vocab_size=2).take_all()}
+    # counts: aa=3, bb=1, zz=1; top-2 by (count desc, token asc) = aa, bb
+    # T=5, V_eff=2, denom=8 -> p(aa)=4/8, p(bb)=2/8, p(oov)=1/8
+    lp = {"aa": math.log(4 / 8), "bb": math.log(2 / 8), "oov": math.log(1 / 8)}
+    d0 = -(2 * lp["aa"] + lp["bb"]) / 3
+    d1 = -(lp["aa"] + lp["oov"]) / 2
+    assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 2
+    assert abs(got[0]["neg_logprob_per_token"] - round(d0, 4)) < 1e-9
+    assert abs(got[1]["neg_logprob_per_token"] - round(d1, 4)) < 1e-9
+    assert abs(got[0]["ppl"] - round(math.exp(d0), 2)) < 1e-9
+    # common-token doc scores lower perplexity than the OOV doc
+    assert got[0]["ppl"] < got[1]["ppl"]
