@@ -116,22 +116,51 @@ def q_lsh_recall(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _dataset_signature(ds, columns: list[str]) -> tuple[int, int]:
+    """Order-insensitive (row-hash-sum mod 2^64, row-count) signature of
+    a dataset, computed as a streaming map_batches reduce — the driver
+    sees one tiny partial per block, never the rows themselves, so
+    whole-dataset equality checks stay corpus-scale-safe."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = pl.from_arrow(batch.select(columns)).hash_rows(seed=7).to_numpy()
+        return pa.table(
+            {
+                # split the u64 wrap-sum into two i64-safe halves
+                "lo": [int(np.add.reduce(hs & np.uint64(0xFFFFFFFF), dtype=np.uint64))],
+                "hi": [int(np.add.reduce(hs >> np.uint64(32), dtype=np.uint64))],
+                "n": [len(hs)],
+            }
+        )
+
+    lo = hi = n = 0
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        lo += row["lo"]
+        hi += row["hi"]
+        n += row["n"]
+    return ((hi << 32) + lo) % (1 << 64), n
+
+
 def q_sessions_equivalence(sf_dir: str) -> pd.DataFrame:
     """Exact row-set equality of whale-safe bucketed sessionization vs
-    the simple per-user-group path on the full events table."""
+    the simple per-user-group path on the FULL events table — compared
+    via distributed order-insensitive signatures (no driver
+    materialization of the session rows)."""
     from .windows import q_events_sessions
 
-    simple = q_events_sessions(sf_dir, bucket_us=None).to_pandas()
-    bucketed = q_events_sessions(sf_dir, bucket_us=6 * 3600 * 1_000_000).to_pandas()
-    cols = sorted(simple.columns)
-    a = simple[cols].sort_values(cols).reset_index(drop=True)
-    b = bucketed[cols].sort_values(cols).reset_index(drop=True)
-    equal = a.equals(b)
+    cols = ["user_id", "session_start_us", "n_events", "sum_value"]
+    sig_a, n_a = _dataset_signature(q_events_sessions(sf_dir, bucket_us=None), cols)
+    sig_b, n_b = _dataset_signature(
+        q_events_sessions(sf_dir, bucket_us=6 * 3600 * 1_000_000), cols
+    )
     return pd.DataFrame(
         {
-            "paths_equal": [bool(equal)],
-            "n_sessions_simple": [len(a)],
-            "n_sessions_bucketed": [len(b)],
+            "paths_equal": [bool(sig_a == sig_b and n_a == n_b)],
+            "n_sessions_simple": [n_a],
+            "n_sessions_bucketed": [n_b],
         }
     )
 
