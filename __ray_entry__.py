@@ -202,9 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_ann_topk,
         q_ivf_topk,
         q_label_centroids,
-        q_lsh_topk,
     )
     from kazu_ray.extras.sketches import q_price_quantiles
+    from kazu_ray.extras.pii import q_pii_scan
     from kazu_ray.extras.metrics import q_approx_metrics
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
@@ -298,7 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
-        "lsh_topk": q_lsh_topk,  # rows-only; recall gate in lsh_recall
+        # (q_lsh_topk stays a library operator + pytest subject; its
+        # recall gate is driver-recorded via approx_metrics lsh_recall,
+        # freeing this slot in the 50-query budget for pii_scan)
+        "pii_scan": q_pii_scan,
         "label_centroids": q_label_centroids,
         # mergeable quantile sketch (KLL-flavoured weighted centroids)
         "price_quantiles": q_price_quantiles,
@@ -340,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from kazu_ray.stages.mutation_ner import mutation_oracle_sql
     from kazu_ray.stages.pattern_ner import pattern_oracle_sql
+    from kazu_ray.extras.pii import pii_scan_oracle_sql
 
     return {
         "mutation_mentions": mutation_oracle_sql(),
@@ -352,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": decontaminate_oracle_sql(),
         "bpe_token_count": bpe_token_count_oracle_sql(),
         "json_props": json_props_oracle_sql(),
+        "pii_scan": pii_scan_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
