@@ -292,7 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_candidates": q_minhash_candidates,  # rows-only (LSH)
-        "simhash": q_simhash,  # rows-only (hash impl defined by engine)
+        "simhash": q_simhash,  # exact oracle (md5-based word hash, see dedup.py)
         "embedding_neardup": q_embedding_neardup,
         "neardup_components": q_neardup_components,  # rows-only (LSH + label prop)
         # --- similarity search
@@ -344,8 +344,10 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.stages.mutation_ner import mutation_oracle_sql
     from kazu_ray.stages.pattern_ner import pattern_oracle_sql
     from kazu_ray.extras.pii import pii_scan_oracle_sql
+    from kazu_ray.extras.dedup import simhash_oracle_sql
 
     return {
+        "simhash": simhash_oracle_sql(),
         "mutation_mentions": mutation_oracle_sql(),
         "pattern_entities": pattern_oracle_sql(),
         "quality_signals": quality_signals_oracle_sql(),

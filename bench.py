@@ -139,7 +139,7 @@ def run_bench() -> dict:
                  "mutation_mentions", "pattern_entities", "chem_smiles",
                  "quality_signals", "quality_filter", "dup_passages",
                  "decontaminate", "range_join", "events_sliding",
-                 "json_props", "bpe_token_count", "lsh_topk",
+                 "json_props", "bpe_token_count", "pii_scan",
                  "label_centroids"):
         try:
             queries[name] = _timed_min(lambda n=name: q[n](SF_DIR).count())

@@ -10,7 +10,7 @@ for a training-data-scale engine:
 - SimHash near-dup (hamming-banded);
 - embedding-cosine near-dup over the ``embeddings`` table.
 
-All hashing is deterministic across processes (zlib.crc32 / blake2b —
+All hashing is deterministic across processes (zlib.crc32 / md5 —
 never Python's salted ``hash``).
 """
 
@@ -292,13 +292,23 @@ def q_minhash_candidates(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _word_hash64(word: str) -> int:
+    """First 8 md5 bytes, little-endian — chosen because DuckDB's
+    ``md5_number_upper`` computes the identical value, so the full
+    SimHash is reproducible in ANSI-ish SQL and the oracle pins the
+    operator bit-exactly (any uniform 64-bit hash is equally valid for
+    SimHash semantics; this one is cross-engine checkable)."""
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "little")
+
+
 def simhash64(text: str) -> int:
     """Single-doc reference implementation (the batch kernel below is the
     hot path; this stays as the semantic spec + test oracle)."""
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
     for w in _WORD.findall(text.lower()):
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)).astype(np.int64)
+        h = np.uint64(_word_hash64(w))
+        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
         acc += bits * 2 - 1
     out = 0
     for i, v in enumerate(acc):
@@ -311,7 +321,7 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     """Vectorized batch SimHash, bit-identical to :func:`simhash64`.
 
     Word hashing (the round-1 per-word python bottleneck) is amortized
-    over the batch vocabulary — each unique word is blake2b'd once; the
+    over the batch vocabulary — each unique word is hashed once; the
     per-doc accumulate is a numpy row-sum over a precomputed ±1 bit
     matrix."""
     vocab: dict[str, int] = {}
@@ -322,11 +332,12 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
             np.fromiter((vocab.setdefault(w, len(vocab)) for w in toks), dtype=np.int64, count=len(toks))
         )
     if vocab:
-        hashes = np.empty(len(vocab), dtype=">u8")
+        hashes = np.empty(len(vocab), dtype=np.uint64)
         for w, i in vocab.items():
-            hashes[i] = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            hashes[i] = _word_hash64(w)
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)
         bit_matrix = (
-            np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int64) * 2 - 1
+            ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
         )  # (V, 64), MSB first
     else:
         bit_matrix = np.zeros((0, 64), dtype=np.int64)
@@ -358,6 +369,39 @@ def q_simhash(sf_dir: str):
         )
 
     return ds.map_batches(sh, batch_format="pyarrow").sort("doc_id")
+
+
+def simhash_oracle_sql() -> str:
+    """Cross-engine SimHash: DuckDB recomputes the identical 64-bit
+    fingerprint (md5_number_upper == first-8-md5-bytes little-endian ==
+    :func:`_word_hash64`), so the hash compare pins tokenization, word
+    hashing, the ±1 bit vote and the sign pack bit-exactly."""
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        h AS (SELECT doc_id, md5_number_upper(w) AS h FROM toks),
+        bits AS (
+            SELECT doc_id, b,
+                   CASE WHEN SUM(CASE WHEN (h >> (63 - b)) & 1 = 1
+                                      THEN 1 ELSE -1 END) > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM h CROSS JOIN range(64) t(b)
+            GROUP BY doc_id, b
+        ),
+        sim AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (63 - b)))
+                        - 9223372036854775808 AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.simhash, -9223372036854775808) AS simhash
+        FROM documents d LEFT JOIN sim s USING (doc_id)
+        ORDER BY d.doc_id
+    """
 
 
 # ---------------------------------------------------------------------------

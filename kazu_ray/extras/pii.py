@@ -28,14 +28,23 @@ from __future__ import annotations
 import pyarrow as pa
 
 # Shared Rust-regex / RE2 subset (no lookaround, no backrefs).
+URL_RE = r"https?://[A-Za-z0-9./_%-]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # naive on purpose: 999.1.2.3 matches — a redactor should over-trigger;
 # the oracle pins that BOTH engines over-trigger identically.
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 
-# redaction order matters (applied left to right, same order in SQL)
-REDACTIONS = (("email", EMAIL_RE, "<EMAIL>"), ("ip", IPV4_RE, "<IP>"), ("phone", PHONE_RE, "<PHONE>"))
+# redaction order matters (applied left to right, same order in SQL).
+# URL first: a dotted version segment inside a URL is COUNTED by the
+# naive IP scan (counts run on the raw text) but swallowed by <URL>
+# before the IP replacement runs — both engines pin that interplay.
+REDACTIONS = (
+    ("url", URL_RE, "<URL>"),
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
 
 
 def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -55,6 +64,7 @@ def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pa.schema(
             [
                 ("doc_id", pa.int64()),
+                ("n_url", pa.int64()),
                 ("n_email", pa.int64()),
                 ("n_ip", pa.int64()),
                 ("n_phone", pa.int64()),
@@ -88,8 +98,16 @@ def _augment_batch(batch: pa.Table) -> pa.Table:
         + pl.when(d % 5 == 0)
         .then(pl.format(" tel 415-{}-{}", 100 + (d * 7) % 900, 1000 + (d * 13) % 9000))
         .otherwise(pl.lit(""))
+        + pl.when(d % 6 == 0)
+        .then(pl.format(" see https://docs.example.org/kb/v1.{}.0/page-{}", d % 9, d % 13))
+        .otherwise(pl.lit(""))
         + pl.when(d % 7 == 0)
         .then(pl.lit(" ref user@localhost build 999.1.2.3"))
+        .otherwise(pl.lit(""))
+        + pl.when(d % 8 == 0)
+        # dotted quad INSIDE a url: n_ip counts it (scan over-triggers on
+        # raw text) but <URL> swallows it before the IP replacement runs
+        .then(pl.format(" mirror http://cdn{}.example.net/10.0.{}.{}/pkg", d % 5, d % 200, d % 50))
         .otherwise(pl.lit(""))
     )
     out = pl.from_arrow(batch.select(["doc_id", "text"])).select(
@@ -110,6 +128,7 @@ def q_pii_scan(sf_dir: str):
         df = pl.from_arrow(b)
         out = df.select(
             "doc_id",
+            "n_url",
             "n_email",
             "n_ip",
             "n_phone",
@@ -128,6 +147,7 @@ def q_pii_scan(sf_dir: str):
 
 
 def pii_scan_oracle_sql() -> str:
+    url = URL_RE.replace("'", "''")
     email = EMAIL_RE.replace("'", "''")
     ip = IPV4_RE.replace("'", "''")
     phone = PHONE_RE.replace("'", "''")
@@ -144,8 +164,14 @@ def pii_scan_oracle_sql() -> str:
                    || CASE WHEN doc_id % 5 = 0
                         THEN ' tel 415-' || (100 + (doc_id * 7) % 900) || '-' || (1000 + (doc_id * 13) % 9000)
                         ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0
+                        THEN ' see https://docs.example.org/kb/v1.' || (doc_id % 9) || '.0/page-' || (doc_id % 13)
+                        ELSE '' END
                    || CASE WHEN doc_id % 7 = 0
                         THEN ' ref user@localhost build 999.1.2.3'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 8 = 0
+                        THEN ' mirror http://cdn' || (doc_id % 5) || '.example.net/10.0.' || (doc_id % 200) || '.' || (doc_id % 50) || '/pkg'
                         ELSE '' END AS t
             FROM documents
         ),
@@ -153,12 +179,15 @@ def pii_scan_oracle_sql() -> str:
             SELECT doc_id, t,
                    regexp_replace(
                        regexp_replace(
-                           regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+                           regexp_replace(
+                               regexp_replace(t, '{url}', '<URL>', 'g'),
+                               '{email}', '<EMAIL>', 'g'),
                            '{ip}', '<IP>', 'g'),
                        '{phone}', '<PHONE>', 'g') AS r
             FROM aug
         )
         SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{url}')) AS BIGINT) AS n_url,
                CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_email,
                CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ip,
                CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phone,

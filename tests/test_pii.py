@@ -38,12 +38,21 @@ def test_email_redacted_before_ip_phone():
     assert r["redacted"] == "x <EMAIL> y"
 
 
+def test_url_swallows_embedded_ip():
+    # counts run on raw text (the naive IP scan over-triggers on the
+    # dotted quad in the path) but URL redaction runs first, so the
+    # replacement stream never emits an <IP> for it
+    r = _scan("get http://cdn1.example.net/10.0.3.7/pkg now, node 10.0.0.1")
+    assert (r["n_url"], r["n_ip"]) == (1, 2)
+    assert r["redacted"] == "get <URL> now, node <IP>"
+
+
 def test_empty_batch():
     out = pii_redact_batch(
         pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
     )
     assert out.num_rows == 0 and out.column_names == [
-        "doc_id", "n_email", "n_ip", "n_phone", "redacted",
+        "doc_id", "n_url", "n_email", "n_ip", "n_phone", "redacted",
     ]
 
 
