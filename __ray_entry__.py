@@ -4,9 +4,11 @@
 exposes one callable per implemented operator family (SURVEY.md §2 plus
 the training-data extras); ``oracle_sql()`` gives the DuckDB-equivalent
 SQL for every SQL-expressible query (identical column names, identical
-rounding).  KG/NER/LSH queries are not SQL-expressible — the driver
-records rows-only checks for those; their real correctness gate is the
-golden-triple P/R test in tests/test_pipeline_golden.py.
+rounding) — including the MinHash-LSH pipeline and its connected
+components, recomputed end-to-end in DuckDB.  KG/NER queries are not
+SQL-expressible — the driver records rows-only checks for those; their
+real correctness gate is the golden-triple P/R test in
+tests/test_pipeline_golden.py.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -291,10 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
-        "minhash_candidates": q_minhash_candidates,  # rows-only (LSH)
+        "minhash_candidates": q_minhash_candidates,  # exact oracle (full LSH recomputed in SQL)
         "simhash": q_simhash,  # exact oracle (md5-based word hash, see dedup.py)
         "embedding_neardup": q_embedding_neardup,
-        "neardup_components": q_neardup_components,  # rows-only (LSH + label prop)
+        "neardup_components": q_neardup_components,  # exact oracle (LSH + recursive-CTE closure)
         # --- similarity search
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
@@ -344,10 +346,13 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.stages.mutation_ner import mutation_oracle_sql
     from kazu_ray.stages.pattern_ner import pattern_oracle_sql
     from kazu_ray.extras.pii import pii_scan_oracle_sql
-    from kazu_ray.extras.dedup import simhash_oracle_sql
+    from kazu_ray.extras.dedup import minhash_oracle_sql, simhash_oracle_sql
+    from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
     return {
         "simhash": simhash_oracle_sql(),
+        "minhash_candidates": minhash_oracle_sql(),
+        "neardup_components": neardup_components_oracle_sql(),
         "mutation_mentions": mutation_oracle_sql(),
         "pattern_entities": pattern_oracle_sql(),
         "quality_signals": quality_signals_oracle_sql(),

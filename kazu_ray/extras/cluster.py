@@ -231,3 +231,29 @@ def q_neardup_components(sf_dir: str):
 
     pairs = q_minhash_candidates(sf_dir)
     return connected_components(pairs)
+
+
+def neardup_components_oracle_sql() -> str:
+    """Exact oracle for the full LSH -> connected-components pipeline:
+    DuckDB recomputes the candidate pairs (shared CTE, see
+    dedup._minhash_pairs_cte) and closes them transitively with a
+    recursive CTE; component = min reachable doc_id, matching
+    :func:`connected_components` on both its union-find and
+    label-propagation paths."""
+    from .dedup import _minhash_pairs_cte
+
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_cte()},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION
+            SELECT doc_b, doc_a FROM cand
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+        FROM reach GROUP BY u ORDER BY u
+    """

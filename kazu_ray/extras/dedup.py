@@ -10,16 +10,16 @@ for a training-data-scale engine:
 - SimHash near-dup (hamming-banded);
 - embedding-cosine near-dup over the ``embeddings`` table.
 
-All hashing is deterministic across processes (zlib.crc32 / md5 —
-never Python's salted ``hash``).
+All hashing is deterministic across processes (md5-derived — never
+Python's salted ``hash``) and reproducible in DuckDB (md5_number_upper),
+so exact dedup, SimHash AND the MinHash-LSH banding all carry exact
+cross-engine SQL oracles.
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -123,10 +123,22 @@ def q_jaccard_pairs(sf_dir: str, limit_docs: int = 120, threshold: float = 0.8):
 N_PERM = 64
 N_BANDS = 16  # 16 bands x 4 rows
 _ROWS_PER_BAND = N_PERM // N_BANDS
-_MERSENNE = (1 << 61) - 1
+# Mersenne-31 modulus (the classic 32-bit MinHash family): a*x + b with
+# a,b < 2^31 and x < 2^32 stays < 2^63 — EXACT in int64, so DuckDB
+# BIGINT arithmetic reproduces signatures bit-for-bit and the LSH
+# pipeline gets a true SQL oracle — while the product still wraps the
+# modulus ~2^32 times, so the 64 permutations mix independently (a
+# 2^61 modulus here would barely wrap and correlate the permutations).
+_MERSENNE = (1 << 31) - 1
 _rng = np.random.default_rng(20240817)
-_A = _rng.integers(1, _MERSENNE - 1, size=N_PERM, dtype=np.int64)
-_B = _rng.integers(0, _MERSENNE - 1, size=N_PERM, dtype=np.int64)
+_A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def _gram_hash32(gram: str) -> int:
+    """Upper 32 bits of the md5-LE64 value — DuckDB computes the same
+    as ``md5_number_upper(gram) >> 32`` (see :func:`_word_hash64`)."""
+    return int.from_bytes(hashlib.md5(gram.encode()).digest()[:8], "little") >> 32
 
 
 def _shingles(text: str, n: int = 3) -> np.ndarray:
@@ -136,7 +148,7 @@ def _shingles(text: str, n: int = 3) -> np.ndarray:
     else:
         grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
     return np.unique(
-        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64, count=len(grams))
+        np.fromiter((_gram_hash32(g) for g in grams), dtype=np.int64, count=len(grams))
     )
 
 
@@ -152,7 +164,7 @@ def minhash_signature(text: str) -> np.ndarray:
 def minhash_signatures_batch(texts: list[str]) -> np.ndarray:
     """(n_docs, N_PERM) signatures, vectorized: polars does the
     lowercase/word-extract/3-gram construction for the whole batch, one
-    C-level crc32 call per gram (no python joins), a single batched
+    md5 call per gram (no python joins), a single batched
     permutation product, and np.minimum.reduceat over doc boundaries.
 
     Duplicate shingles are NOT deduped (unlike _shingles) — min over a
@@ -186,12 +198,12 @@ def minhash_signatures_batch(texts: list[str]) -> np.ndarray:
         )
     grams = pl.concat(frames).sort("row", maintain_order=True)
     rows = grams["row"].to_numpy()
-    crc = np.fromiter(
-        (zlib.crc32(g.encode()) for g in grams["gram"].to_list()),
+    gh = np.fromiter(
+        (_gram_hash32(g) for g in grams["gram"].to_list()),
         dtype=np.int64,
         count=grams.height,
     )
-    vals = (crc[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    vals = (gh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
     boundaries = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
     return np.minimum.reduceat(vals, boundaries, axis=0)
 
@@ -285,6 +297,75 @@ def q_minhash_candidates(sf_dir: str):
         .aggregate(Count(alias_name="n_bands"))
         .sort(["doc_a", "doc_b"])
     )
+
+
+def _minhash_pairs_cte() -> str:
+    """WITH-clause body recomputing the full MinHash-LSH candidate-pair
+    pipeline in DuckDB: word 3-gram shingles, md5-derived 32-bit gram
+    hash, the exact (a*x+b) mod (2^61-1) signature family (31-bit
+    coefficients keep every product inside BIGINT), 16 bands of 4 rows,
+    pairs on identical band chunks.  Shared by the candidate-pair and
+    connected-component oracles."""
+    perm_rows = ", ".join(
+        f"({i}, {int(_A[i])}, {int(_B[i])})" for i in range(N_PERM)
+    )
+    return f"""
+        ws AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM documents
+        ),
+        expl AS (
+            SELECT doc_id, len(w) AS nw, unnest(w) AS tok,
+                   generate_subscripts(w, 1) AS pos
+            FROM ws WHERE len(w) >= 3
+        ),
+        g3 AS (
+            SELECT doc_id,
+                   tok || ' ' || LEAD(tok, 1) OVER win
+                       || ' ' || LEAD(tok, 2) OVER win AS gram
+            FROM expl
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY pos <= nw - 2
+        ),
+        gshort AS (
+            SELECT doc_id, array_to_string(w, ' ') AS gram
+            FROM ws WHERE len(w) < 3
+        ),
+        grams AS (SELECT * FROM g3 UNION ALL SELECT * FROM gshort),
+        hx AS (
+            SELECT doc_id, CAST(md5_number_upper(gram) >> 32 AS BIGINT) AS x
+            FROM grams
+        ),
+        perms(perm, a, b) AS (VALUES {perm_rows}),
+        sig AS (
+            SELECT doc_id, perm, MIN((x * a + b) % {_MERSENNE}) AS mh
+            FROM hx CROSS JOIN perms
+            GROUP BY doc_id, perm
+        ),
+        bands AS (
+            SELECT doc_id, perm // {_ROWS_PER_BAND} AS band_id,
+                   list(mh ORDER BY perm) AS chunk
+            FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}
+        ),
+        cand AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   COUNT(*) AS n_bands
+            FROM bands x JOIN bands y
+              ON x.band_id = y.band_id AND x.chunk = y.chunk
+             AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )"""
+
+
+def minhash_oracle_sql() -> str:
+    """Exact cross-engine check of the LSH candidate pairs AND the
+    per-pair colliding-band counts (the only engine-side deviation
+    possible is a 64-bit splitmix band-hash collision, probability
+    ~2^-50 at test scale)."""
+    return f"""
+        WITH {_minhash_pairs_cte()}
+        SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b
+    """
 
 
 # ---------------------------------------------------------------------------
