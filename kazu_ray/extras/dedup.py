@@ -198,11 +198,19 @@ def minhash_signatures_batch(texts: list[str]) -> np.ndarray:
         )
     grams = pl.concat(frames).sort("row", maintain_order=True)
     rows = grams["row"].to_numpy()
-    gh = np.fromiter(
-        (_gram_hash32(g) for g in grams["gram"].to_list()),
+    # md5 each DISTINCT gram once (same vocab trick as the SimHash
+    # kernel): repeated 3-grams across a batch are common, and a dict
+    # probe is ~6x cheaper than an md5 call
+    vocab: dict[str, int] = {}
+    codes = np.fromiter(
+        (vocab.setdefault(g, len(vocab)) for g in grams["gram"].to_list()),
         dtype=np.int64,
         count=grams.height,
     )
+    hv = np.empty(len(vocab), dtype=np.int64)
+    for g, i in vocab.items():
+        hv[i] = _gram_hash32(g)
+    gh = hv[codes]
     vals = (gh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
     boundaries = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
     return np.minimum.reduceat(vals, boundaries, axis=0)
