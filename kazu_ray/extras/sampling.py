@@ -1,0 +1,123 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Standard corpus-preparation operators the reference lacks (it processes
+every document): reproducible train/val/test splits and
+stratified subsampling over an arbitrarily large corpus.  All decisions
+derive from a salted md5 of the row key — no RNG state, no seed
+synchronization across workers, and a row keeps its assignment no
+matter how the corpus is partitioned, re-sharded or re-run.  The hash
+is DuckDB's ``md5_number_upper`` (first 8 md5 bytes little-endian — see
+dedup._word_hash64), so every operator here is cross-engine checkable
+in SQL (tests/test_sampling.py).
+
+Scale story:
+- ``split_column`` / ``bernoulli_sample``: stateless, shuffle-free
+  map_batches; bounded purely by scan bandwidth at 100 TB.
+- ``stratified_sample_k``: per-BATCH partial top-k per stratum (each
+  batch reduces to <= |strata| x k rows before anything crosses the
+  exchange), then a strata-bounded merge — the same discipline as
+  relational.q_orders_rank_per_group.  The exchange volume is
+  O(|strata| x k x n_blocks), never corpus-sized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_SCALE = float(1 << 64)
+
+
+def _key_hash64(keys, salt: str) -> np.ndarray:
+    """uint64 md5-LE64 of ``salt || ':' || key`` per element — equals
+    DuckDB ``md5_number_upper(salt || ':' || CAST(key AS VARCHAR))``."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    pre = salt.encode() + b":"
+    for i, k in enumerate(keys):
+        d = hashlib.md5(pre + str(k).encode()).digest()
+        out[i] = int.from_bytes(d[:8], "little")
+    return out
+
+
+def _u01(keys, salt: str) -> np.ndarray:
+    """Deterministic uniform [0, 1) per key."""
+    return _key_hash64(keys, salt).astype(np.float64) / _SCALE
+
+
+def split_column(
+    ds,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    salt: str = "split-v1",
+):
+    """Add a ``split`` column assigning each row to a named fraction
+    (e.g. {'train': 0.9, 'val': 0.05, 'test': 0.05}) by cumulative
+    ranges over the salted key hash.  Assignment is a pure function of
+    (salt, key): stable under re-partitioning, appends and re-runs."""
+    names = list(weights)
+    total = sum(weights.values())
+    cuts = np.cumsum([weights[n] / total for n in names])
+    cuts[-1] = 1.0 + 1e-9  # float-sum slack: the last bucket absorbs it
+
+    def assign(t: pa.Table) -> pa.Table:
+        u = _u01(t.column(key).to_pylist(), salt)
+        idx = np.searchsorted(cuts, u, side="right")
+        split = pa.array([names[i] for i in idx], type=pa.string())
+        return t.append_column("split", split)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def bernoulli_sample(ds, fraction: float, key: str = "doc_id", salt: str = "sample-v1"):
+    """Keep each row independently iff hash(salt, key)/2^64 < fraction.
+    Exactly reproducible: the same (salt, key, fraction) keeps the same
+    rows on any cluster shape, and DuckDB reproduces the predicate
+    verbatim (``md5_number_upper(...) < fraction * 2^64``)."""
+    threshold = np.uint64(min(int(fraction * _SCALE), (1 << 64) - 1))
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _key_hash64(t.column(key).to_pylist(), salt)
+        return t.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample_k(
+    ds,
+    stratum_col: str,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "strat-v1",
+):
+    """Deterministic k rows per stratum: within each stratum keep the k
+    rows with the smallest salted key hash (a uniform random-without-
+    replacement draw that every engine and every re-run agrees on).
+
+    Output: all input columns of the winners.  Ties are impossible for
+    distinct keys (64-bit hash); equal keys tie-break on the key.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _key_hash64(t.column(key).to_pylist(), salt)
+        df = t.to_pandas()
+        # order-preserving signed shift: sorting this int64 equals
+        # sorting the raw uint64 (DuckDB's unsigned md5_number_upper)
+        df["_h"] = (h - np.uint64(1 << 63)).view(np.int64)
+        df = (
+            df.sort_values(["_h", key])
+            .groupby(stratum_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["_h", key]).head(k).drop(columns=["_h"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(stratum_col)
+        .map_groups(merge, batch_format="pandas")
+    )

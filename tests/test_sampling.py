@@ -1,0 +1,135 @@
+"""Deterministic sampling/splitting: cross-engine parity with DuckDB
+(the salted md5 decisions are reproducible as md5_number_upper SQL),
+plus the invariances the operators promise (partition independence,
+append stability, per-stratum counts)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from kazu_ray.extras.sampling import (
+    _SCALE,
+    _key_hash64,
+    bernoulli_sample,
+    split_column,
+    stratified_sample_k,
+)
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+def _docs_view():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    return con
+
+
+def test_key_hash_matches_duckdb_md5_number_upper():
+    keys = [0, 1, 42, 999999, -7]
+    got = _key_hash64(keys, "s1")
+    con = duckdb.connect()
+    for k, h in zip(keys, got):
+        exp = con.execute(
+            "SELECT md5_number_upper('s1:' || CAST(? AS VARCHAR))", [k]
+        ).fetchone()[0]
+        assert int(h) == exp
+
+
+def test_bernoulli_matches_sql(ray_session):
+    import ray.data as rd
+
+    frac, salt = 0.25, "sample-v1"
+    ds = rd.read_parquet(DOCS, columns=["doc_id"])
+    got = sorted(r["doc_id"] for r in bernoulli_sample(ds, frac, salt=salt).take_all())
+    thr = min(int(frac * _SCALE), (1 << 64) - 1)
+    exp = [
+        r[0]
+        for r in _docs_view().execute(
+            f"SELECT doc_id FROM documents "
+            f"WHERE md5_number_upper('{salt}:' || CAST(doc_id AS VARCHAR)) < {thr} "
+            f"ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == exp
+    assert 0.15 < len(got) / 500 < 0.35  # sane hit rate at n=500
+
+
+def test_split_matches_sql_and_partitioning(ray_session):
+    import ray.data as rd
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    ds = rd.read_parquet(DOCS, columns=["doc_id"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_column(ds, weights).take_all()
+    }
+    # same decisions when the input arrives in different blocks
+    got_repart = {
+        r["doc_id"]: r["split"]
+        for r in split_column(
+            rd.read_parquet(DOCS, columns=["doc_id"]).repartition(7), weights
+        ).take_all()
+    }
+    assert got == got_repart
+
+    names = list(weights)
+    cuts = np.cumsum([weights[n] for n in names])
+    cuts[-1] = 1.0 + 1e-9
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN '{n}'" for n, c in zip(names, cuts)
+    )
+    exp = dict(
+        _docs_view().execute(
+            f"SELECT doc_id, CASE {cases} END AS split FROM ("
+            f"  SELECT doc_id,"
+            f"         md5_number_upper('split-v1:' || CAST(doc_id AS VARCHAR))"
+            f"           / 18446744073709551616.0 AS u"
+            f"  FROM documents)"
+        ).fetchall()
+    )
+    assert got == exp
+    counts = pd.Series(list(got.values())).value_counts()
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_stratified_k_matches_sql(ray_session):
+    import ray.data as rd
+
+    k, salt = 5, "strat-v1"
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "lang"])
+    out = stratified_sample_k(ds, "lang", k, salt=salt).take_all()
+    got = sorted((r["lang"], r["doc_id"]) for r in out)
+    exp = sorted(
+        _docs_view().execute(
+            f"""
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_upper('{salt}:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= {k}
+            """
+        ).fetchall()
+    )
+    assert got == exp
+    # exactly k per stratum (every stratum in this corpus has >= k rows)
+    per = pd.Series([g for g, _ in got]).value_counts()
+    assert (per == k).all()
+
+
+def test_stratified_k_partition_invariance(ray_session):
+    import ray.data as rd
+
+    a = stratified_sample_k(
+        rd.read_parquet(DOCS, columns=["doc_id", "lang"]), "lang", 3
+    ).take_all()
+    b = stratified_sample_k(
+        rd.read_parquet(DOCS, columns=["doc_id", "lang"]).repartition(11), "lang", 3
+    ).take_all()
+    key = lambda rows: sorted((r["lang"], r["doc_id"]) for r in rows)
+    assert key(a) == key(b)
