@@ -84,6 +84,45 @@ def bernoulli_sample(ds, fraction: float, key: str = "doc_id", salt: str = "samp
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def epoch_mix(
+    ds,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix-v1",
+    default_weight: float = 1.0,
+):
+    """Deterministic data mixing: repeat each row ``w`` times where
+    ``w`` is its source's mixing weight (Pile/LLaMA-style epoch
+    weights).  ``w = 2.3`` keeps 2 full copies plus a third with
+    probability 0.3; ``w = 0.3`` keeps the row with probability 0.3.
+    The fractional decision hashes (salt, key), so it is reproducible,
+    shuffle-free and partition-independent; copies carry an ``epoch``
+    column (0-based) so downstream shuffles can decorrelate them.
+
+    DuckDB reproduces the expansion verbatim (CROSS JOIN a
+    generate_series per source + the md5_number_upper predicate on the
+    last partial copy) — see tests/test_sampling.py."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("epoch", pa.array([], pa.int64()))
+        src = t.column(source_col).to_pylist()
+        w = np.array([float(weights.get(s, default_weight)) for s in src])
+        full = np.floor(w).astype(np.int64)
+        frac = w - full
+        u = _u01(t.column(key).to_pylist(), salt)
+        n_copies = full + (u < frac)
+        idx = np.repeat(np.arange(len(src)), n_copies)
+        epoch = np.concatenate(
+            [np.arange(n) for n in n_copies]
+        ) if len(idx) else np.zeros(0, dtype=np.int64)
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def stratified_sample_k(
     ds,
     stratum_col: str,

@@ -13,6 +13,7 @@ from kazu_ray.extras.sampling import (
     _SCALE,
     _key_hash64,
     bernoulli_sample,
+    epoch_mix,
     split_column,
     stratified_sample_k,
 )
@@ -133,3 +134,60 @@ def test_stratified_k_partition_invariance(ray_session):
     ).take_all()
     key = lambda rows: sorted((r["lang"], r["doc_id"]) for r in rows)
     assert key(a) == key(b)
+
+
+def test_epoch_mix_matches_sql(ray_session):
+    import ray.data as rd
+
+    weights = {"src0": 2.3, "src1": 0.4, "src2": 1.0, "src3": 0.0}
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "source"])
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in epoch_mix(ds, weights, default_weight=1.5).take_all()
+    )
+    w_rows = ", ".join(f"('{s}', {w})" for s, w in weights.items())
+    exp = sorted(
+        _docs_view().execute(
+            f"""
+            WITH w(source, wt) AS (VALUES {w_rows}),
+            base AS (
+              -- CAST: VALUES literals are DECIMAL; the engine computes
+              -- the fractional part in IEEE double, so the oracle must too
+              SELECT doc_id, CAST(COALESCE(wt, 1.5) AS DOUBLE) AS wt,
+                     md5_number_upper('mix-v1:' || CAST(doc_id AS VARCHAR))
+                       / 18446744073709551616.0 AS u
+              FROM documents LEFT JOIN w USING (source))
+            SELECT doc_id,
+                   unnest(range(CAST(floor(wt) AS BIGINT)
+                                + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)) AS epoch
+            FROM base
+            """
+        ).fetchall()
+    )
+    assert got == exp
+    # zero-weight source fully dropped; >1 weights produce epoch >= 1 copies
+    srcs = dict(
+        _docs_view().execute("SELECT doc_id, source FROM documents").fetchall()
+    )
+    assert not any(srcs[d] == "src3" for d, _ in got)
+    assert any(srcs[d] == "src0" and e == 2 for d, e in got)
+
+
+def test_epoch_mix_partition_invariance(ray_session):
+    import ray.data as rd
+
+    weights = {"src0": 2.5}
+    a = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in epoch_mix(
+            rd.read_parquet(DOCS, columns=["doc_id", "source"]), weights
+        ).take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in epoch_mix(
+            rd.read_parquet(DOCS, columns=["doc_id", "source"]).repartition(9),
+            weights,
+        ).take_all()
+    )
+    assert a == b
