@@ -313,11 +313,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         # --- quality-metric queries: the recall / equivalence / parity
         # gates behind the approximate and non-SQL-expressible operators.
-        # approx_metrics consolidates ten gates (MinHash/IVF/LSH recall,
-        # bucketed-session + CC equivalence, quantile sketch error,
-        # embedding-eval P/R on the real-weights checkpoint, IUPAC→SMILES
-        # parity) into one query so every gate is driver-recorded each
-        # round within the 50-query budget.
+        # approx_metrics consolidates sixteen gates (MinHash/IVF/LSH
+        # recall, bucketed-session + CC equivalence, quantile sketch
+        # error, embedding-eval P/R on the real-weights checkpoint,
+        # IUPAC→SMILES parity, and the round-4 operators: BM25 /
+        # sampling+epoch-mix / snapshot-diff / sequence-packing /
+        # PageRank cross-engine parity + Bloom FPR) into one query so
+        # every gate is driver-recorded each round within the 50-query
+        # budget.
         "transformer_eval": _transformer_eval,
         "approx_metrics": q_approx_metrics,
     }

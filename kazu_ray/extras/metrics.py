@@ -235,6 +235,306 @@ def q_chem_parity(sf_dir: str = "") -> pd.DataFrame:
     )
 
 
+def q_retrieval_parity(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k parity: the two-pass distributed scorer vs DuckDB
+    running the identical Okapi formula and tokenizer (the same
+    ground-truth helper the pytest gate uses)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from .retrieval import bm25_duckdb, bm25_topk
+
+    queries = ["neural network training data", "the gene expression"]
+    k = 10
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk(ds, queries, k=k).take_all()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = sorted((q, r, d, s) for q, d, s, r in bm25_duckdb(con, queries, k))
+    equal = [g[:3] for g in got] == [e[:3] for e in exp] and bool(
+        np.allclose([g[3] for g in got], [e[3] for e in exp], atol=1e-9)
+    )
+    return pd.DataFrame({"paths_equal": [bool(equal)], "n_results": [len(got)]})
+
+
+def q_sampling_parity(sf_dir: str) -> pd.DataFrame:
+    """Deterministic split / Bernoulli-sample / epoch-mix decisions vs
+    DuckDB recomputing the identical salted md5 predicates."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from .sampling import _SCALE, bernoulli_sample, epoch_mix, split_column
+
+    docs = f"{sf_dir}/documents.parquet"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs}')")
+
+    frac = 0.25
+    got_b = sorted(
+        r["doc_id"]
+        for r in bernoulli_sample(
+            rd.read_parquet(docs, columns=["doc_id"]), frac
+        ).take_all()
+    )
+    thr = min(int(frac * _SCALE), (1 << 64) - 1)
+    exp_b = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM documents WHERE "
+            f"md5_number_upper('sample-v1:' || CAST(doc_id AS VARCHAR)) < {thr} "
+            f"ORDER BY doc_id"
+        ).fetchall()
+    ]
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got_s = {
+        r["doc_id"]: r["split"]
+        for r in split_column(
+            rd.read_parquet(docs, columns=["doc_id"]), weights
+        ).take_all()
+    }
+    names = list(weights)
+    cuts = np.cumsum([weights[n] for n in names])
+    cuts[-1] = 1.0 + 1e-9
+    cases = " ".join(f"WHEN u < {c!r} THEN '{n}'" for n, c in zip(names, cuts))
+    exp_s = dict(
+        con.execute(
+            f"SELECT doc_id, CASE {cases} END FROM ("
+            f"  SELECT doc_id,"
+            f"         md5_number_upper('split-v1:' || CAST(doc_id AS VARCHAR))"
+            f"           / 18446744073709551616.0 AS u FROM documents)"
+        ).fetchall()
+    )
+
+    mix = {"src0": 2.3, "src1": 0.4, "src2": 1.0}
+    got_m = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in epoch_mix(
+            rd.read_parquet(docs, columns=["doc_id", "source"]),
+            mix,
+            default_weight=0.7,
+        ).take_all()
+    )
+    w_rows = ", ".join(f"('{s}', {w})" for s, w in mix.items())
+    exp_m = sorted(
+        con.execute(
+            f"""
+            WITH w(source, wt) AS (VALUES {w_rows}),
+            base AS (
+              SELECT doc_id, CAST(COALESCE(wt, 0.7) AS DOUBLE) AS wt,
+                     md5_number_upper('mix-v1:' || CAST(doc_id AS VARCHAR))
+                       / 18446744073709551616.0 AS u
+              FROM documents LEFT JOIN w USING (source))
+            SELECT doc_id,
+                   unnest(range(CAST(floor(wt) AS BIGINT)
+                                + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END))
+            FROM base
+            """
+        ).fetchall()
+    )
+
+    equal = got_b == exp_b and got_s == exp_s and got_m == exp_m
+    return pd.DataFrame(
+        {
+            "paths_equal": [bool(equal)],
+            "n_sampled": [len(got_b)],
+            "n_split": [len(got_s)],
+            "n_mixed": [len(got_m)],
+        }
+    )
+
+
+def q_snapshot_parity(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-diff classification vs a DuckDB FULL OUTER JOIN over md5
+    fingerprints, on a deterministically derived second snapshot
+    (doc_id%7 removed, doc_id%5 rewritten, doc_id%13 re-added under a
+    fresh id) so all four statuses are exercised."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .snapshot import snapshot_diff
+
+    docs = f"{sf_dir}/documents.parquet"
+    new_sql = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'rewritten ' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+               'brand new ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 13 = 0
+    """
+
+    def derive_new(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_ids, out_texts = [], []
+        for i, t in zip(ids, texts):
+            if i % 7 != 0:
+                out_ids.append(i)
+                out_texts.append(f"rewritten {i}" if i % 5 == 0 else t)
+            if i % 13 == 0:
+                out_ids.append(i + 10000000)
+                out_texts.append(f"brand new {i}")
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "text": out_texts}
+        )
+
+    old = rd.read_parquet(docs, columns=["doc_id", "text"])
+    new = rd.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+        derive_new, batch_format="pyarrow"
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["fp_old"], r["fp_new"])
+        for r in snapshot_diff(old, new).take_all()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs}')")
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"""
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   CASE WHEN o.doc_id IS NULL THEN NULL ELSE md5(o.text) END,
+                   CASE WHEN n.doc_id IS NULL THEN NULL ELSE md5(n.text) END
+            FROM documents o FULL OUTER JOIN ({new_sql}) n USING (doc_id)
+            """
+        ).fetchall()
+    }
+    equal = got == exp and {s for s, _, _ in got.values()} == {
+        "added", "removed", "changed", "unchanged"
+    }
+    return pd.DataFrame({"paths_equal": [bool(equal)], "n_keys": [len(got)]})
+
+
+def q_packing_parity(sf_dir: str) -> pd.DataFrame:
+    """Sequence-packing plan parity: the distributed global prefix sum
+    vs DuckDB's window-function ground truth."""
+    import duckdb
+    import ray.data as rd
+
+    from .packing import packing_oracle_sql, sequence_pack
+
+    docs = f"{sf_dir}/documents.parquet"
+    seq_len = 256
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["tok_start"], r["seq_offset"], r["n_toks"])
+        for r in sequence_pack(
+            rd.read_parquet(docs, columns=["doc_id", "text"]), seq_len=seq_len
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs}')")
+    exp = sorted(con.execute(packing_oracle_sql(seq_len)).fetchall())
+    return pd.DataFrame(
+        {"paths_equal": [bool(got == exp)], "n_slices": [len(got)]}
+    )
+
+
+def q_pagerank_parity(sf_dir: str) -> pd.DataFrame:
+    """PageRank parity: the dataset-native power iteration vs DuckDB
+    replaying the identical recurrence, on a cyclic+dangling graph
+    derived deterministically from lineitem."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .graph import pagerank, pagerank_duckdb
+
+    li = f"{sf_dir}/lineitem.parquet"
+
+    # bounded subgraph (l_orderkey % 7 = 0): the gate checks recurrence
+    # parity, not scale — the distributed path's equivalence to the
+    # driver recurrence is pinned separately in test_graph.py
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keep = ok % 7 == 0
+        ok = ok[keep]
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)[keep]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        src = np.concatenate([ok % 211, pk % 193])
+        dst = np.concatenate([pk % 193, sk % 97 + 300])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = rd.read_parquet(
+        li, columns=["l_orderkey", "l_partkey", "l_suppkey"]
+    ).map_batches(derive, batch_format="pyarrow")
+    got = sorted((r["node"], r["rank"]) for r in pagerank(edges, n_iter=5).take_all())
+    exp = pagerank_duckdb(
+        duckdb.connect(),
+        f"""
+        SELECT l_orderkey % 211 AS src, l_partkey % 193 AS dst
+        FROM read_parquet('{li}') WHERE l_orderkey % 7 = 0
+        UNION ALL
+        SELECT l_partkey % 193 AS src, l_suppkey % 97 + 300 AS dst
+        FROM read_parquet('{li}') WHERE l_orderkey % 7 = 0
+        """,
+        n_iter=5,
+    )
+    equal = [g[0] for g in got] == [e[0] for e in exp] and bool(
+        np.allclose([g[1] for g in got], [e[1] for e in exp], atol=1e-9)
+    )
+    mass_ok = abs(sum(g[1] for g in got) - 1.0) < 1e-9
+    return pd.DataFrame(
+        {"paths_equal": [bool(equal and mass_ok)], "n_nodes": [len(got)]}
+    )
+
+
+def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter contract on the documents key space: zero false
+    negatives (structural guarantee) and measured false-positive rate
+    within 3x the design target."""
+    import ray.data as rd
+
+    from .bloom import bloom_filter, build_bloom
+
+    docs = f"{sf_dir}/documents.parquet"
+    members = rd.read_parquet(docs, columns=["doc_id"]).filter(
+        lambda r: r["doc_id"] % 2 == 0
+    )
+    bloom = build_bloom(members, fpr=0.01)
+    kept = {
+        r["doc_id"]
+        for r in bloom_filter(
+            rd.read_parquet(docs, columns=["doc_id"]), bloom
+        ).take_all()
+    }
+    all_ids = {
+        r["doc_id"] for r in rd.read_parquet(docs, columns=["doc_id"]).take_all()
+    }
+    in_set = {i for i in all_ids if i % 2 == 0}
+    fn = len(in_set - kept)
+    fp = len(kept - in_set)
+    n_out = max(1, len(all_ids) - len(in_set))
+    fpr = fp / n_out
+    return pd.DataFrame(
+        {
+            "false_negatives": [fn],
+            "fpr_measured": [round(fpr, 6)],
+            "fpr_target": [0.01],
+            "passes": [bool(fn == 0 and fpr <= 0.03)],
+        }
+    )
+
+
 def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     """One row per quality gate — recall / equivalence / parity metrics
     behind the approximate and non-SQL-expressible operators, folded
@@ -267,6 +567,18 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("embedding_eval_recall", m["recall"], m["gate"], m["passes"])
     m = q_chem_parity(sf_dir).iloc[0]
     add("chem_exact_match_frac", m["exact_match_frac"], m["gate"], m["passes"])
+    m = q_retrieval_parity(sf_dir).iloc[0]
+    add("bm25_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_sampling_parity(sf_dir).iloc[0]
+    add("sampling_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_snapshot_parity(sf_dir).iloc[0]
+    add("snapshot_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_bloom_gate(sf_dir).iloc[0]
+    add("bloom_fpr", m["fpr_measured"], 0.03, m["passes"])
+    m = q_packing_parity(sf_dir).iloc[0]
+    add("packing_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_pagerank_parity(sf_dir).iloc[0]
+    add("pagerank_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     return pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
 
 

@@ -270,3 +270,44 @@ def bm25_topk(docs_ds, queries: list[str], k: int = 10):
         lambda b: b.select(BM25_SCHEMA.names).cast(BM25_SCHEMA),
         batch_format="pyarrow",
     )
+
+
+def bm25_duckdb(con, queries: list[str], k: int):
+    """Ground-truth BM25 top-k computed by DuckDB under the identical
+    Okapi formula and tokenizer — the shared cross-engine reference used
+    by tests/test_retrieval.py and the driver-recorded retrieval_parity
+    gate (extras/metrics.py).  Returns (query_id, doc_id, score, rank)
+    tuples; assumes a ``documents`` view with (doc_id, text)."""
+    import re
+
+    q_rows = []
+    for qi, q in enumerate(queries):
+        for t in sorted(set(re.findall(_WORD_RE, q.lower()))):
+            q_rows.append(f"({qi}, '{t}')")
+    tok = f"regexp_extract_all(lower(text), '{_WORD_RE}')"
+    return con.execute(
+        f"""
+        WITH toks AS (SELECT doc_id, {tok} AS ws FROM documents),
+        stats AS (SELECT COUNT(*) AS n,
+                         SUM(len(ws))::DOUBLE / COUNT(*) AS avgdl FROM toks),
+        q(query_id, token) AS (VALUES {', '.join(q_rows)}),
+        tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf FROM (
+                 SELECT doc_id, unnest(ws) AS token FROM toks)
+               WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM toks),
+        dfv AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * dl / avgdl))
+                 ) AS score
+          FROM q JOIN tf USING (token) JOIN dl USING (doc_id)
+               JOIN dfv USING (token) CROSS JOIN stats
+          GROUP BY 1, 2)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+        WHERE rank <= {k} ORDER BY query_id, rank
+        """
+    ).fetchall()

@@ -163,3 +163,99 @@ def q_quantile_accuracy(sf_dir: str):
             "passes": [max(rel) <= 0.01],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters: frequent items with ZERO token-keyed shuffle.
+#
+# token_topk (text_analysis.py) is the exact path — one combiner-compressed
+# hash(token) exchange.  This is the bandwidth-starved alternative: each batch
+# compresses its exact token counts to a k-counter Misra–Gries summary
+# (subtract the (k+1)-th largest count — the mergeable-summaries reduction of
+# Agarwal et al. 2012), summaries merge by counter addition + re-reduction,
+# so only O(P*k) counter rows ever move.  The sketch is SELF-CERTIFYING: it
+# carries the exact total decrement applied at every reduction, which upper-
+# bounds the undercount of every reported item — and (classic MG bound) can
+# never exceed n_tokens/(k+1).  Every token whose true count exceeds the
+# carried error bound is guaranteed present.
+
+
+def _mg_reduce(tokens: "np.ndarray", counts: "np.ndarray", k: int):
+    """Keep ≤k counters by subtracting the (k+1)-th largest count.
+    Returns (tokens, counts, decrement)."""
+    if len(tokens) <= k:
+        return tokens, counts, 0
+    order = np.argsort(counts, kind="stable")[::-1]
+    d = int(counts[order[k]])
+    keep = order[:k]
+    new = counts[keep] - d
+    pos = new > 0
+    return tokens[keep][pos], new[pos], d
+
+
+def heavy_hitters_tokens(ds, text: str = "text", k: int = 64, nparts: int = 8):
+    """Approximate frequent tokens of a corpus (repo-wide ``[a-z0-9]+``
+    tokenizer) → bounded pandas DataFrame (token, est_count, err_bound)
+    where ``exact - est_count <= err_bound`` for every reported token and
+    every token with ``exact > err_bound`` is guaranteed reported."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t.select([text]))
+            .select(pl.col(text).str.to_lowercase().str.extract_all(r"[a-z0-9]+"))
+            .explode(text)
+            .drop_nulls()
+            .group_by(text)
+            .len()
+        )
+        toks = df[text].to_numpy()
+        cnts = df["len"].to_numpy().astype(np.int64)
+        toks, cnts, d = _mg_reduce(toks, cnts, k)
+        import zlib
+
+        # process-stable partitioning (python hash() is seed-randomized)
+        part = (zlib.crc32(toks[0].encode()) % nparts) if len(toks) else 0
+        return pa.table(
+            {
+                "part": pa.array([part] * (len(toks) + 1), pa.int64()),
+                "token": pa.array(list(toks) + [None], pa.string()),
+                "count": pa.array(list(cnts) + [d], pa.int64()),
+            }
+        )
+
+    def merge_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        err = int(g.loc[g["token"].isna(), "count"].sum())
+        live = g.dropna(subset=["token"]).groupby("token", sort=False)["count"].sum()
+        toks, cnts, d = _mg_reduce(
+            live.index.to_numpy(), live.to_numpy().astype(np.int64), k
+        )
+        return pd.DataFrame(
+            {
+                "token": list(toks) + [None],
+                "count": list(cnts) + [err + d],
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
+        .take_all()
+    )  # bounded: ≤ nparts × (k+1) counter rows
+    err = sum(r["count"] for r in rows if r["token"] is None)
+    agg: dict[str, int] = {}
+    for r in rows:
+        if r["token"] is not None:
+            agg[r["token"]] = agg.get(r["token"], 0) + int(r["count"])
+    toks = np.array(list(agg), dtype=object)
+    cnts = np.array(list(agg.values()), dtype=np.int64)
+    toks, cnts, d = _mg_reduce(toks, cnts, k)
+    err += d
+    out = pd.DataFrame({"token": toks, "est_count": cnts})
+    out["err_bound"] = int(err)
+    return out.sort_values(["est_count", "token"], ascending=[False, True]).reset_index(
+        drop=True
+    )

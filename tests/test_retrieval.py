@@ -6,7 +6,7 @@ import duckdb
 import numpy as np
 import pytest
 
-from kazu_ray.extras.retrieval import B, K1, bm25_topk, build_inverted_index
+from kazu_ray.extras.retrieval import bm25_duckdb, bm25_topk, build_inverted_index
 
 SF = "/root/testdata/sf0.001"
 DOCS = f"{SF}/documents.parquet"
@@ -71,41 +71,6 @@ QUERIES = ["neural network training data", "the gene expression", "zzzznotaword"
 K = 12
 
 
-def _bm25_sql(con, k):
-    q_rows = []
-    for qi, q in enumerate(QUERIES):
-        import re
-
-        for t in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
-            q_rows.append(f"({qi}, '{t}')")
-    return con.execute(
-        f"""
-        WITH toks AS (SELECT doc_id, {TOK} AS ws FROM documents),
-        stats AS (SELECT COUNT(*) AS n,
-                         SUM(len(ws))::DOUBLE / COUNT(*) AS avgdl FROM toks),
-        q(query_id, token) AS (VALUES {', '.join(q_rows)}),
-        tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf FROM (
-                 SELECT doc_id, unnest(ws) AS token FROM toks)
-               WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
-        dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM toks),
-        dfv AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        scored AS (
-          SELECT q.query_id, tf.doc_id,
-                 SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
-                     * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * dl / avgdl))
-                 ) AS score
-          FROM q JOIN tf USING (token) JOIN dl USING (doc_id)
-               JOIN dfv USING (token) CROSS JOIN stats
-          GROUP BY 1, 2)
-        SELECT query_id, doc_id, score, rank FROM (
-          SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-          FROM scored)
-        WHERE rank <= {k} ORDER BY query_id, rank
-        """
-    ).fetchall()
-
-
 def test_bm25_matches_sql(ray_session):
     import ray.data as rd
 
@@ -114,7 +79,7 @@ def test_bm25_matches_sql(ray_session):
         (r["query_id"], r["rank"], r["doc_id"], r["score"])
         for r in bm25_topk(ds, QUERIES, k=K).take_all()
     )
-    exp = sorted((q, r, d, s) for q, d, s, r in _bm25_sql(_con(), K))
+    exp = sorted((q, r, d, s) for q, d, s, r in bm25_duckdb(_con(), QUERIES, K))
     assert [(g[0], g[1], g[2]) for g in got] == [(e[0], e[1], e[2]) for e in exp]
     assert np.allclose([g[3] for g in got], [e[3] for e in exp], atol=1e-9)
     # the no-hit query must emit nothing

@@ -50,3 +50,52 @@ def test_end_to_end_gate(ray_session):
 
     df = q_quantile_accuracy("/root/testdata/sf0.001")
     assert bool(df["passes"].iloc[0]), df.to_dict()
+
+
+def test_heavy_hitters_guarantees(ray_session):
+    """Misra-Gries sketch contract vs DuckDB exact token counts:
+    estimates never exceed truth, undercount within the carried bound,
+    every above-bound token reported, bound within the n/(k+1) theorem."""
+    import duckdb
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import heavy_hitters_tokens
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    k = 8  # corpus vocabulary is 31 tokens — k=8 forces reductions
+    got = heavy_hitters_tokens(
+        rd.read_parquet(docs, columns=["text"]).repartition(6), k=k, nparts=4
+    )
+    exact = dict(
+        duckdb.sql(
+            f"""
+            SELECT token, COUNT(*) FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM read_parquet('{docs}')) GROUP BY 1
+            """
+        ).fetchall()
+    )
+    n_tokens = sum(exact.values())
+    err = int(got["err_bound"].iloc[0])
+    assert 0 < err <= n_tokens // (k + 1)
+    assert len(got) <= k
+    for t, est in zip(got["token"], got["est_count"]):
+        assert est <= exact[t], (t, est, exact[t])
+        assert exact[t] - est <= err, (t, est, exact[t], err)
+    reported = set(got["token"])
+    for t, c in exact.items():
+        if c > err:
+            assert t in reported, (t, c, err)
+
+
+def test_heavy_hitters_small_vocab(ray_session):
+    """k >= vocabulary size → exact counts, zero error."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import heavy_hitters_tokens
+
+    t = pa.table({"text": ["a a b", "b a c", "c a"]})
+    got = heavy_hitters_tokens(rd.from_arrow(t), k=10, nparts=2)
+    assert int(got["err_bound"].iloc[0]) == 0
+    assert dict(zip(got["token"], got["est_count"])) == {"a": 4, "b": 2, "c": 2}
