@@ -94,8 +94,16 @@ def run_bench() -> dict:
     dicts = entrymod._dicts()
 
     # corpus synthesis is input preparation, not pipeline work: build the
-    # interleaved corpus once (untimed) and time the engine on it
-    docs = interleaved_docs(SF_DIR, repeat=REPEAT).materialize()
+    # interleaved corpus once (untimed) and time the engine on it.
+    # Block count: actor-pool tasks schedule at BLOCK granularity, so the
+    # tail of the run is bounded by the slowest in-flight block.  ~4
+    # blocks per actor (measured sweep at 16/32 CPUs: 32 blocks → 1
+    # task/actor = 45-47 s, 64-128 blocks → 31-34 s at 32 CPUs; 256+
+    # re-amplifies per-block combiner output and regresses) keeps the
+    # tail ~1/4 of an actor's work without flooding the downstream
+    # canonicalize groupby with per-block partials.
+    blocks = max(32, 4 * NUM_CPUS)
+    docs = interleaved_docs(SF_DIR, parallelism=blocks, repeat=REPEAT).materialize()
     n_docs = docs.count()
     # fixed full-size pool: the input is materialized, so the actor stage
     # cannot starve its own producer; downstream shuffle tasks interleave
