@@ -152,6 +152,7 @@ class AnnotateEmitTriples:
 
     def __call__(self, batch):
         import numpy as np
+        import polars as pl
         import pyarrow.compute as pc
 
         from ..stages.triples import doc_triples, new_triple_columns, triple_columns_to_table
@@ -162,40 +163,52 @@ class AnnotateEmitTriples:
             if "error" in batch.schema.names
             else [None] * len(batch)
         )
-        # columnar extraction: only the text field leaves Arrow (no per-span
-        # dict materialization for the corpus-sized spans column)
+        # columnar extraction: only the text field leaves Arrow, and it
+        # goes Arrow -> polars natively.  Python strings are materialized
+        # ONLY for docs with at least one automaton hit (for the
+        # boundary checks + doc-local post steps) — zero-hit docs emit no
+        # triples by construction, so they never round-trip to Python.
         spans_col = batch.column("spans")
-        lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
-        flat_texts = pc.list_flatten(spans_col).combine_chunks().field("text").to_pylist()
+        lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_text = pc.list_flatten(spans_col).combine_chunks().field("text")
         bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=bounds[1:])
         doc_ids = batch.column("doc_id").to_pylist()
+        # vectorized per-doc char totals for the skip-doc guard
+        char_lens = pc.utf8_length(flat_text).to_numpy(zero_copy_only=False).astype(np.int64)
+        ccum = np.zeros(len(char_lens) + 1, dtype=np.int64)
+        np.cumsum(char_lens, out=ccum[1:])
+        totals = ccum[bounds[1:]] - ccum[bounds[:-1]]
         # skip-doc guard + dead-letter masking BEFORE matching, so the
         # automaton never sees skipped docs
         skip = [False] * len(doc_ids)
         dead_rows: list[tuple[str, str]] = []
+        skip_span_idx: list[int] = []
+        s = pl.from_arrow(flat_text)
         for r, err in enumerate(errors):
-            texts = flat_texts[bounds[r] : bounds[r + 1]]
-            total = sum(len(t) for t in texts)
-            if err is not None or total > MAX_DOC_CHARS:
+            if err is not None or totals[r] > MAX_DOC_CHARS:
                 skip[r] = True  # reference skip_doc_len guard, pipeline.py:138-155
                 if self.emit_dead_letter:
                     dead_rows.append(
-                        (str(doc_ids[r]), err or f"doc too long: {total} chars")
+                        (str(doc_ids[r]), err or f"doc too long: {totals[r]} chars")
                     )
-                for i in range(bounds[r], bounds[r + 1]):
-                    flat_texts[i] = ""
+                skip_span_idx.extend(range(bounds[r], bounds[r + 1]))
+        if skip_span_idx:
+            s = s.scatter(skip_span_idx, "")
         # ONE native automaton pass over every span in the batch
-        span_idxs = [i for n in lengths for i in range(n)]
-        per_span = self.ner.match_texts(flat_texts, span_idxs)
+        span_idxs = np.arange(bounds[-1], dtype=np.int64) - np.repeat(bounds[:-1], lengths)
+        per_span = self.ner.match_series(s, span_idxs)
         for r, doc_id in enumerate(doc_ids):
             if skip[r]:
                 continue
-            texts = flat_texts[bounds[r] : bounds[r + 1]]
+            lo, hi = bounds[r], bounds[r + 1]
             try:
                 ents = []
-                for span_ents in per_span[bounds[r] : bounds[r + 1]]:
+                for span_ents in per_span[lo:hi]:
                     ents.extend(span_ents)
+                if not ents:
+                    continue  # no hits -> post steps are no-ops, no triples
+                texts = flat_text[lo:hi].to_pylist()
                 final = self.post.process_doc(texts, ents, copy_entities=False)
                 doc_triples(doc_id, final, out)
             except Exception as exc:  # noqa: BLE001 — per-row failure isolation

@@ -124,32 +124,53 @@ class DictionaryNer:
         parallel to ``texts`` (span_idx taken from ``span_idxs``)."""
         if not self.patterns or not texts:
             return [[] for _ in texts]
-        if not self._polars_available():
-            return [
-                self._match_span_python(t, si) for t, si in zip(texts, span_idxs)
-            ]
         import polars as pl
 
-        s = pl.Series(texts)
+        return self.match_series(pl.Series(texts, dtype=pl.String), span_idxs)
+
+    def match_series(self, s, span_idxs) -> list[list[dict]]:
+        """Automaton pass over a polars String Series (built zero-copy-ish
+        from the Arrow text column — no Python ``str`` round trip).
+
+        Python strings are materialized ONLY for spans with at least one
+        raw automaton hit: the first pass (``find_many``) runs over the
+        whole series natively, then ``extract_many`` + boundary checks run
+        over the gathered hit rows alone.  On a corpus where most spans
+        contain no dictionary surface this removes the dominant
+        Arrow->Python string conversion from the hot phase.
+        """
+        n = len(s)
+        if not self.patterns or n == 0:
+            return [[] for _ in range(n)]
+        if not self._polars_available():  # pragma: no cover - env fallback
+            return [
+                self._match_span_python(t, int(si))
+                for t, si in zip(s.to_list(), span_idxs)
+            ]
         starts_col = s.str.find_many(
             self.patterns, ascii_case_insensitive=True, overlapping=True
         ).to_list()
-        matches_col = s.str.extract_many(
+        out: list[list[dict]] = [[] for _ in range(n)]
+        hit_rows = [i for i, starts in enumerate(starts_col) if starts]
+        if not hit_rows:
+            return out
+        hit_s = s.gather(hit_rows)
+        matches_col = hit_s.str.extract_many(
             self.patterns, ascii_case_insensitive=True, overlapping=True
         ).to_list()
-        out: list[list[dict]] = []
-        for text, span_idx, starts, matches in zip(texts, span_idxs, starts_col, matches_col):
+        hit_texts = hit_s.to_list()
+        for row, text, matches in zip(hit_rows, hit_texts, matches_col):
             ents: list[dict] = []
-            if starts:
-                seen_spans: set[tuple[int, int]] = set()
-                for start, matched in zip(starts, matches):
-                    end = start + len(matched)
-                    if (start, end) in seen_spans:
-                        continue  # ascii + original-case patterns can overlap
-                    seen_spans.add((start, end))
-                    if is_token_start(text, start) and is_token_end(text, end):
-                        self._emit(text, span_idx, start, end, matched, ents)
-            out.append(ents)
+            seen_spans: set[tuple[int, int]] = set()
+            span_idx = int(span_idxs[row])
+            for start, matched in zip(starts_col[row], matches):
+                end = start + len(matched)
+                if (start, end) in seen_spans:
+                    continue  # ascii + original-case patterns can overlap
+                seen_spans.add((start, end))
+                if is_token_start(text, start) and is_token_end(text, end):
+                    self._emit(text, span_idx, start, end, matched, ents)
+            out[row] = ents
         return out
 
     def match_span_text(self, text: str, span_idx: int, toks=None) -> list[dict]:
@@ -184,6 +205,7 @@ class DictionaryNer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
+        import polars as pl
         import pyarrow.compute as pc
 
         errors = (
@@ -192,13 +214,15 @@ class DictionaryNer:
             else [None] * len(batch)
         )
         spans_col = batch.column("spans")
-        lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
-        flat_texts = pc.list_flatten(spans_col).combine_chunks().field("text").to_pylist()
+        lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_text = pc.list_flatten(spans_col).combine_chunks().field("text")
         bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=bounds[1:])
-        # one automaton pass over every span of every doc in the batch
-        span_idxs = [i for n in lengths for i in range(n)]
-        per_span = self.match_texts(flat_texts, span_idxs)
+        # one automaton pass over every span of every doc in the batch;
+        # the text column goes Arrow -> polars natively (no Python strings
+        # except for spans that actually hit the automaton)
+        span_idxs = np.arange(bounds[-1], dtype=np.int64) - np.repeat(bounds[:-1], lengths)
+        per_span = self.match_series(pl.from_arrow(flat_text), span_idxs)
         entities_per_doc: list[list[dict]] = []
         for r, err in enumerate(errors):
             ents: list[dict] = []
