@@ -51,6 +51,13 @@ class DictionaryNer:
                     patterns.add(e.original_case)
         self.patterns = sorted(patterns)
         self._polars_ok: bool | None = None
+        # per-surface emission template cache: everything in an emitted
+        # entity except (span_idx, start, end) is a pure function of the
+        # exact matched surface string, and a corpus repeats a small set
+        # of surfaces millions of times.  Candidate dicts are shared
+        # between occurrences — downstream only reads or copies them
+        # (cascade groups, merge_candidates dict()-copies).
+        self._emit_cache: dict[str, list[tuple[str, str, int, list[dict]]]] = {}
 
     # ------------------------------------------------------------------
     # shared: matched surface occurrence -> entity rows
@@ -58,9 +65,29 @@ class DictionaryNer:
 
     def _emit(self, text: str, span_idx: int, start: int, end: int,
               surface: str, out: list[dict]) -> None:
+        tmpl = self._emit_cache.get(surface)
+        if tmpl is None:
+            tmpl = self._emit_cache[surface] = self._emit_template(surface)
+        for entity_class, match_norm, confidence, candidates in tmpl:
+            out.append(
+                {
+                    "span_idx": span_idx,
+                    "start": start,
+                    "end": end,
+                    "match": surface,
+                    "match_norm": match_norm,
+                    "entity_class": entity_class,
+                    "namespace": NS_DICT_NER,
+                    "mention_confidence": confidence,
+                    "candidates": candidates,
+                    "mappings": [],
+                }
+            )
+
+    def _emit_template(self, surface: str) -> list[tuple[str, str, int, list[dict]]]:
         entries = self.table.by_surface.get(surface.lower())
         if not entries:
-            return
+            return []
         # group by entity class; resolve confidence as max across
         # parsers; drop case-sensitive entries on case mismatch
         by_class: dict[str, list] = {}
@@ -68,6 +95,7 @@ class DictionaryNer:
             if e.case_sensitive and surface != e.original_case:
                 continue
             by_class.setdefault(e.entity_class, []).append(e)
+        tmpl: list[tuple[str, str, int, list[dict]]] = []
         for entity_class, class_entries in by_class.items():
             candidates = []
             seen: set[tuple[str, str]] = set()
@@ -86,22 +114,15 @@ class DictionaryNer:
                 )
             if not candidates:
                 continue
-            out.append(
-                {
-                    "span_idx": span_idx,
-                    "start": start,
-                    "end": end,
-                    "match": surface,
-                    "match_norm": normalize(surface, entity_class),
-                    "entity_class": entity_class,
-                    "namespace": NS_DICT_NER,
-                    "mention_confidence": max(
-                        e.mention_confidence for e in class_entries
-                    ),
-                    "candidates": candidates,
-                    "mappings": [],
-                }
+            tmpl.append(
+                (
+                    entity_class,
+                    normalize(surface, entity_class),
+                    max(e.mention_confidence for e in class_entries),
+                    candidates,
+                )
             )
+        return tmpl
 
     # ------------------------------------------------------------------
     # native batch path (polars aho-corasick)

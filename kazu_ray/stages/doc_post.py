@@ -170,9 +170,13 @@ def expand_abbreviations(
     # fast path: no parenthesis anywhere -> no definitions possible
     if not any("(" in t for t in texts):
         return entities
-    # tokenize text spans once (or reuse the NER stage's tokens)
+    # a definition lives inside a single span's text, so pass 1 only
+    # needs tokens for spans that contain a "("; the rest of the doc is
+    # tokenized lazily, only when a definition is actually found
     if span_toks is None:
-        span_toks = {i: tokenize(t) for i, t in enumerate(texts) if t}
+        def_toks = {i: tokenize(t) for i, t in enumerate(texts) if t and "(" in t}
+    else:
+        def_toks = span_toks
 
     # index entities by (span_idx, start, end)
     ents_at: dict[tuple[int, int, int], list[dict]] = {}
@@ -182,7 +186,7 @@ def expand_abbreviations(
     # pass 1: collect unique definitions and their source entities
     short_to_sources: dict[str, list[dict]] = {}
     seen_long: set[str] = set()
-    for si, toks in span_toks.items():
+    for si, toks in def_toks.items():
         for long_span, _short_span, short_text in find_abbreviation_definitions(
             toks, texts[si]
         ):
@@ -194,6 +198,10 @@ def expand_abbreviations(
             short_to_sources[short_text] = sources
     if not short_to_sources:
         return entities
+    if span_toks is None:  # pass 2 scans the whole doc: tokenize the rest
+        span_toks = {
+            i: def_toks.get(i) or tokenize(t) for i, t in enumerate(texts) if t
+        }
 
     # pass 2: match every short-form occurrence document-wide, override
     removed: set[int] = set()
