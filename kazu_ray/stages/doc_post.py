@@ -276,6 +276,16 @@ class MappingCascade:
         # (Gilda-style per-ID disambiguation, reference strategies.py:272-358)
         self.id_contexts = id_contexts or {}
         self._ctx_vec_cache: dict = {}
+        # pass-1 memo: the string-match ladder + id-set resolution for an
+        # entity is a pure function of (match_norm, candidate list), both
+        # of which repeat across millions of occurrences of the same
+        # surface (dictionary NER shares one candidate-template list per
+        # surface).  Keyed on id(candidates) with an identity check — the
+        # stored strong reference keeps the id from being recycled.
+        # Mapping dicts in the memo are shared across entities; every
+        # downstream consumer copies before modifying (cleanup_entities,
+        # _fan_out_xrefs) or only reads.
+        self._pass1_cache: dict = {}
 
     def _id_context_vec(self, key):
         v = self._ctx_vec_cache.get(key)
@@ -513,32 +523,47 @@ class MappingCascade:
             # equivalent-id set remains
             for i in group:
                 e = entities[i]
-                by_parser: dict[str, list[dict]] = {}
-                for cand in e["candidates"]:
-                    by_parser.setdefault(cand["parser_name"], []).append(cand)
-                mappings: list[dict] = []
-                for parser, cands in by_parser.items():
-                    selection = self._select_terms(e, parser, cands)
-                    if selection is None:
-                        continue
-                    selected, strategy, match_conf = selection
-                    id_sets: list[frozenset] = []
-                    for c in selected:
-                        rec = self.synonyms.get((parser, c["term_norm"]))
-                        if rec is None:
+                cands_list = e["candidates"]
+                ckey = (id(cands_list), e["match_norm"])
+                hit = self._pass1_cache.get(ckey)
+                if hit is not None and hit[0] is cands_list:
+                    results = hit[1]
+                else:
+                    by_parser: dict[str, list[dict]] = {}
+                    for cand in cands_list:
+                        by_parser.setdefault(cand["parser_name"], []).append(cand)
+                    results: list[tuple] = []
+                    for parser, cands in by_parser.items():
+                        selection = self._select_terms(e, parser, cands)
+                        if selection is None:
                             continue
-                        for s in rec.assoc_sets:
-                            if s not in id_sets:
-                                id_sets.append(s)
-                    if not id_sets:
-                        continue
-                    if len(id_sets) == 1:
-                        res = _Resolution(
-                            id_sets[0], "NotAmbiguous", match_conf, strategy, match_conf
-                        )
-                        mappings.extend(self._make_mappings(parser, res))
+                        selected, strategy, match_conf = selection
+                        id_sets: list[frozenset] = []
+                        for c in selected:
+                            rec = self.synonyms.get((parser, c["term_norm"]))
+                            if rec is None:
+                                continue
+                            for s in rec.assoc_sets:
+                                if s not in id_sets:
+                                    id_sets.append(s)
+                        if not id_sets:
+                            continue
+                        if len(id_sets) == 1:
+                            res = _Resolution(
+                                id_sets[0], "NotAmbiguous", match_conf, strategy, match_conf
+                            )
+                            results.append((None, self._make_mappings(parser, res)))
+                        else:
+                            results.append((parser, id_sets, strategy, match_conf))
+                    if len(self._pass1_cache) > 200_000:  # non-template lists
+                        self._pass1_cache.clear()
+                    self._pass1_cache[ckey] = (cands_list, results)
+                mappings: list[dict] = []
+                for r in results:
+                    if r[0] is None:
+                        mappings.extend(r[1])
                     else:
-                        deferred.append((e, parser, id_sets, strategy, match_conf))
+                        deferred.append((e, r[0], r[1], r[2], r[3]))
                 if mappings:
                     e["mappings"] = e["mappings"] + mappings
                     doc_mapped_ids.update(m["idx"] for m in mappings)
