@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.sketches import q_price_quantiles
     from kazu_ray.extras.pii import q_pii_scan
     from kazu_ray.extras.metrics import q_approx_metrics
+    from kazu_ray.extras.kmeans import q_kmeans_clusters, q_semdedup
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -313,16 +314,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         # --- quality-metric queries: the recall / equivalence / parity
         # gates behind the approximate and non-SQL-expressible operators.
-        # approx_metrics consolidates sixteen gates (MinHash/IVF/LSH
+        # approx_metrics consolidates nineteen gates (MinHash/IVF/LSH
         # recall, bucketed-session + CC equivalence, quantile sketch
         # error, embedding-eval P/R on the real-weights checkpoint,
         # IUPAC→SMILES parity, and the round-4 operators: BM25 /
         # sampling+epoch-mix / snapshot-diff / sequence-packing /
-        # PageRank cross-engine parity + Bloom FPR) into one query so
+        # PageRank cross-engine parity + Bloom FPR + distributed
+        # k-means equivalence + SemDeDup invariants) into one query so
         # every gate is driver-recorded each round within the 50-query
         # budget.
         "transformer_eval": _transformer_eval,
         "approx_metrics": q_approx_metrics,
+        # Past the driver's 50-query budget: data surfaces for the
+        # clustering operators; their correctness gates
+        # (kmeans_assign_equal_frac, kmeans_centroid_max_err,
+        # semdedup_invariants) are driver-recorded via approx_metrics.
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
     }
 
 

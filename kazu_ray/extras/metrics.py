@@ -579,6 +579,17 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("packing_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_pagerank_parity(sf_dir).iloc[0]
     add("pagerank_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    from .kmeans import q_kmeans_equivalence
+
+    m = q_kmeans_equivalence(sf_dir).iloc[0]
+    add("kmeans_assign_equal_frac", m["assign_equal_frac"], 1.0, m["passes"])
+    add("kmeans_centroid_max_err", m["centroid_max_err"], 1e-9, m["centroid_max_err"] < 1e-9)
+    add(
+        "semdedup_invariants",
+        1.0 if (m["semdedup_kept_ok"] and m["semdedup_dropped_ok"]) else 0.0,
+        1.0,
+        m["semdedup_kept_ok"] and m["semdedup_dropped_ok"],
+    )
     return pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
 
 

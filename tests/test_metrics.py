@@ -7,7 +7,7 @@ def test_approx_metrics_all_pass(ray_session):
     from kazu_ray.extras.metrics import q_approx_metrics
 
     df = q_approx_metrics("/root/testdata/sf0.001")
-    assert len(df) == 16
+    assert len(df) == 19
     assert set(df.columns) == {"metric", "value", "gate", "passes"}
     failing = df[~df["passes"]]
     assert failing.empty, failing.to_string()
@@ -16,6 +16,9 @@ def test_approx_metrics_all_pass(ray_session):
     assert by["embedding_eval_precision"] == 1.0
     assert by["embedding_eval_recall"] == 1.0
     assert by["chem_exact_match_frac"] == 1.0
+    # distributed k-means matches the driver reference exactly
+    assert by["kmeans_assign_equal_frac"] == 1.0
+    assert by["semdedup_invariants"] == 1.0
 
 
 def test_dataset_signature_order_insensitive(ray_session):
