@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.pii import q_pii_scan
     from kazu_ray.extras.metrics import q_approx_metrics
     from kazu_ray.extras.kmeans import q_kmeans_clusters, q_semdedup
+    from kazu_ray.stages.punkt import q_punkt_sentences
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -331,6 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup_invariants) are driver-recorded via approx_metrics.
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        # data surface for the unsupervised Punkt sentencizer; its
+        # boundary-F1 gate is the punkt_boundary_f1 row of
+        # approx_metrics.
+        "punkt_sentences": q_punkt_sentences,
     }
 
 

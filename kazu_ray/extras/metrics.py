@@ -535,6 +535,45 @@ def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_punkt_gate(sf_dir: str) -> pd.DataFrame:
+    """Boundary-exactness of the unsupervised Punkt sentencizer
+    (stages/punkt.py; Kiss & Strunk 2006): train on the deterministic
+    prose corpus (sources/prose.py — known true sentence spans by
+    construction), segment it, and score span-exact P/R/F1 plus recall
+    of the seeded scholarly abbreviation inventory.  The statistical
+    analogue of the reference's genia-Stanza segmenter, gated the same
+    way the tiny-BERT NER path is (a learned model whose output is
+    scored against ground truth the model never saw as labels)."""
+    import ray.data as rd
+
+    from ..sources.prose import prose_doc, prose_table
+    from ..stages.punkt import sentence_spans_punkt, train_punkt
+
+    n_docs = 300
+    params = train_punkt(rd.from_arrow(prose_table(n_docs)))
+    tp = fp = fn = 0
+    for i in range(n_docs):
+        text, true_spans = prose_doc(i)
+        pred = set(sentence_spans_punkt(text, params))
+        ts = set(true_spans)
+        tp += len(ts & pred)
+        fp += len(pred - ts)
+        fn += len(ts - pred)
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    f1 = 2 * precision * recall / max(1e-12, precision + recall)
+    seeded = ["approx", "vs", "e.g", "i.e", "fig", "no", "ca", "dr", "al", "spp"]
+    abbrev_recall = sum(a in params.abbrev_types for a in seeded) / len(seeded)
+    return pd.DataFrame(
+        {
+            "f1": [round(f1, 6)],
+            "abbrev_recall": [round(abbrev_recall, 6)],
+            "gate": [0.99],
+            "passes": [bool(f1 >= 0.99 and abbrev_recall == 1.0)],
+        }
+    )
+
+
 def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     """One row per quality gate — recall / equivalence / parity metrics
     behind the approximate and non-SQL-expressible operators, folded
@@ -581,6 +620,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("pagerank_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
+    m = q_punkt_gate(sf_dir).iloc[0]
+    add("punkt_boundary_f1", m["f1"], m["gate"], m["passes"])
     m = q_kmeans_equivalence(sf_dir).iloc[0]
     add("kmeans_assign_equal_frac", m["assign_equal_frac"], 1.0, m["passes"])
     add("kmeans_centroid_max_err", m["centroid_max_err"], 1e-9, m["centroid_max_err"] < 1e-9)
