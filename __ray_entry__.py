@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.metrics import q_approx_metrics
     from kazu_ray.extras.kmeans import q_kmeans_clusters, q_semdedup
     from kazu_ray.stages.punkt import q_punkt_sentences
+    from kazu_ray.extras.dsir import q_dsir_sample
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -336,6 +337,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boundary-F1 gate is the punkt_boundary_f1 row of
         # approx_metrics.
         "punkt_sentences": q_punkt_sentences,
+        # DSIR importance resampling (Xie et al. 2023); its full
+        # fit+score+select pipeline is checked bit-exact against a
+        # single DuckDB query by the dsir_parity row of approx_metrics.
+        "dsir_sample": q_dsir_sample,
     }
 
 

@@ -535,6 +535,34 @@ def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_dsir_parity(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance resampling (extras/dsir.py; Xie et al. 2023) vs
+    DuckDB recomputing the ENTIRE fit+score+select pipeline — md5
+    hashed-n-gram bucketing, Laplace-smoothed bucket log-ratios, per-doc
+    importance log-weights and deterministic Gumbel-top-k — as one SQL
+    query.  paths_equal requires the same selected doc set AND the same
+    per-doc score/key values after round(6)."""
+    import duckdb
+
+    from .dsir import dsir_oracle_sql, q_dsir_sample
+
+    got = q_dsir_sample(sf_dir).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(dsir_oracle_sql()).fetchdf().sort_values("doc_id")
+    exp = exp.reset_index(drop=True)
+    equal = (
+        len(got) == len(exp)
+        and list(got["doc_id"]) == list(exp["doc_id"])
+        and (got["score"] - exp["score"]).abs().max() == 0.0
+        and (got["key"] - exp["key"]).abs().max() == 0.0
+    )
+    return pd.DataFrame({"paths_equal": [bool(equal)], "rows": [len(got)]})
+
+
 def q_punkt_gate(sf_dir: str) -> pd.DataFrame:
     """Boundary-exactness of the unsupervised Punkt sentencizer
     (stages/punkt.py; Kiss & Strunk 2006): train on the deterministic
@@ -622,6 +650,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
 
     m = q_punkt_gate(sf_dir).iloc[0]
     add("punkt_boundary_f1", m["f1"], m["gate"], m["passes"])
+    m = q_dsir_parity(sf_dir).iloc[0]
+    add("dsir_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_kmeans_equivalence(sf_dir).iloc[0]
     add("kmeans_assign_equal_frac", m["assign_equal_frac"], 1.0, m["passes"])
     add("kmeans_centroid_max_err", m["centroid_max_err"], 1e-9, m["centroid_max_err"] < 1e-9)
