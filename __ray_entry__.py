@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.kmeans import q_kmeans_clusters, q_semdedup
     from kazu_ray.stages.punkt import q_punkt_sentences
     from kazu_ray.extras.dsir import q_dsir_sample
+    from kazu_ray.extras.sketches import q_hll_distinct
+    from kazu_ray.extras.collocations import q_pmi_collocations
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -341,6 +343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fit+score+select pipeline is checked bit-exact against a
         # single DuckDB query by the dsir_parity row of approx_metrics.
         "dsir_sample": q_dsir_sample,
+        # HyperLogLog distinct-token estimate; register-level SQL parity
+        # + error envelope are the hll_* rows of approx_metrics.
+        "hll_distinct": q_hll_distinct,
+        # PMI collocations; full-set exact SQL parity is the pmi_parity
+        # row of approx_metrics.
+        "pmi_collocations": q_pmi_collocations,
     }
 
 

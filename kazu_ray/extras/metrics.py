@@ -563,6 +563,74 @@ def q_dsir_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [bool(equal)], "rows": [len(got)]})
 
 
+def q_hll_gate(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-token sketch (extras/sketches.py; Flajolet
+    et al. 2007) vs DuckDB: (a) the merged REGISTER ARRAY must be
+    bit-exact against SQL replaying the sketch (same md5, same
+    register/rank split), and (b) the estimate's relative error vs the
+    exact COUNT(DISTINCT) must sit inside the sketch's published error
+    envelope (3 sigma ~ 4.9% at p=12)."""
+    import duckdb
+    import numpy as np
+
+    from .sketches import HLL_M, hll_distinct_tokens, hll_estimate, hll_oracle_sql
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    regs = hll_distinct_tokens(ds)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = np.zeros(HLL_M, dtype=np.uint8)
+    for register, rho in con.execute(hll_oracle_sql()).fetchall():
+        exp[int(register)] = int(rho)
+    registers_equal = bool((regs == exp).all())
+    exact = con.execute(
+        "SELECT count(DISTINCT tok) FROM (SELECT unnest("
+        "regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)"
+    ).fetchone()[0]
+    est = hll_estimate(regs)
+    rel_err = abs(est - float(exact)) / float(exact)
+    return pd.DataFrame(
+        {
+            "registers_equal": [registers_equal],
+            "rel_err": [round(rel_err, 6)],
+            "estimate": [round(est, 2)],
+            "exact": [int(exact)],
+            "gate": [0.049],
+            "passes": [registers_equal and rel_err <= 0.049],
+        }
+    )
+
+
+def q_pmi_parity(sf_dir: str) -> pd.DataFrame:
+    """PMI collocation mining (extras/collocations.py; Church & Hanks
+    1990) vs DuckDB recomputing the full thresholded bigram-PMI table —
+    same tokenizer, same counts, same ln ratio after round(6).  The
+    comparison is the FULL set (every bigram with n12 >= MIN_COUNT and
+    all five count/score columns), not a top-k whose cutoff could flip
+    on float ulps."""
+    import duckdb
+
+    from .collocations import pmi_oracle_sql, q_pmi_collocations
+
+    got = q_pmi_collocations(sf_dir).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(pmi_oracle_sql()).fetchdf().reset_index(drop=True)
+    for c in ("n12", "n1", "n2"):
+        exp[c] = exp[c].astype("int64")
+    return pd.DataFrame(
+        {"paths_equal": [bool(got.equals(exp))], "rows": [len(got)]}
+    )
+
+
 def q_punkt_gate(sf_dir: str) -> pd.DataFrame:
     """Boundary-exactness of the unsupervised Punkt sentencizer
     (stages/punkt.py; Kiss & Strunk 2006): train on the deterministic
@@ -652,6 +720,11 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("punkt_boundary_f1", m["f1"], m["gate"], m["passes"])
     m = q_dsir_parity(sf_dir).iloc[0]
     add("dsir_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_hll_gate(sf_dir).iloc[0]
+    add("hll_register_parity", 1.0 if m["registers_equal"] else 0.0, 1.0, m["registers_equal"])
+    add("hll_rel_err", m["rel_err"], m["gate"], m["rel_err"] <= m["gate"])
+    m = q_pmi_parity(sf_dir).iloc[0]
+    add("pmi_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_kmeans_equivalence(sf_dir).iloc[0]
     add("kmeans_assign_equal_frac", m["assign_equal_frac"], 1.0, m["passes"])
     add("kmeans_centroid_max_err", m["centroid_max_err"], 1e-9, m["centroid_max_err"] < 1e-9)
