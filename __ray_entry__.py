@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dsir import q_dsir_sample
     from kazu_ray.extras.sketches import q_hll_distinct
     from kazu_ray.extras.collocations import q_pmi_collocations
+    from kazu_ray.extras.pca import q_pca_project
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -349,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PMI collocations; full-set exact SQL parity is the pmi_parity
         # row of approx_metrics.
         "pmi_collocations": q_pmi_collocations,
+        # Distributed PCA over embeddings; covariance SQL parity +
+        # driver-path equivalence are the pca_* rows of approx_metrics.
+        "pca_project": q_pca_project,
     }
 
 

@@ -631,6 +631,60 @@ def q_pmi_parity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_pca_gate(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA (extras/pca.py): (a) the distributed covariance
+    matrix vs DuckDB computing every Cov[i, j] from the same parquet
+    (<= 1e-9 — exact equality is impossible across engines: float64
+    summation order differs), and (b) the distributed-fit projection vs
+    a driver-side numpy PCA on the materialized matrix (<= 1e-6
+    elementwise after the shared deterministic sign convention)."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from .pca import cov_oracle_sql, covariance_matrix, fit_pca, q_pca_project
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    cov = covariance_matrix(ds)
+    d = cov.shape[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = np.zeros((d, d))
+    for i, j, c in con.execute(cov_oracle_sql(d)).fetchall():
+        exp[int(i), int(j)] = c
+        exp[int(j), int(i)] = c
+    cov_err = float(np.abs(cov - exp).max())
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    evals, evecs = np.linalg.eigh(np.cov(x, rowvar=False))
+    order = np.argsort(evals)[::-1][:8]
+    comps = evecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    proj = (x - x.mean(axis=0)) @ comps.T
+    vid = t.column("vec_id").to_numpy()
+    proj = np.round(proj[np.argsort(vid)], 6)
+    got = np.asarray(q_pca_project(sf_dir)["pca"].to_list())
+    path_err = float(np.abs(got - proj).max())
+    return pd.DataFrame(
+        {
+            "cov_max_abs_err": [cov_err],
+            "path_max_abs_err": [path_err],
+            "passes": [cov_err <= 1e-9 and path_err <= 1e-6],
+        }
+    )
+
+
 def q_punkt_gate(sf_dir: str) -> pd.DataFrame:
     """Boundary-exactness of the unsupervised Punkt sentencizer
     (stages/punkt.py; Kiss & Strunk 2006): train on the deterministic
@@ -725,6 +779,9 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("hll_rel_err", m["rel_err"], m["gate"], m["rel_err"] <= m["gate"])
     m = q_pmi_parity(sf_dir).iloc[0]
     add("pmi_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_pca_gate(sf_dir).iloc[0]
+    add("pca_cov_max_err", m["cov_max_abs_err"], 1e-9, m["cov_max_abs_err"] <= 1e-9)
+    add("pca_path_max_err", m["path_max_abs_err"], 1e-6, m["path_max_abs_err"] <= 1e-6)
     m = q_kmeans_equivalence(sf_dir).iloc[0]
     add("kmeans_assign_equal_frac", m["assign_equal_frac"], 1.0, m["passes"])
     add("kmeans_centroid_max_err", m["centroid_max_err"], 1e-9, m["centroid_max_err"] < 1e-9)
