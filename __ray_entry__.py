@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.sketches import q_hll_distinct
     from kazu_ray.extras.collocations import q_pmi_collocations
     from kazu_ray.extras.pca import q_pca_project
+    from kazu_ray.extras.bpe import q_bpe_train
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -353,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Distributed PCA over embeddings; covariance SQL parity +
         # driver-path equivalence are the pca_* rows of approx_metrics.
         "pca_project": q_pca_project,
+        # Distributed BPE training; fit/apply equivalence vs the
+        # single-process reference is the bpe_* rows of approx_metrics.
+        "bpe_train": q_bpe_train,
     }
 
 

@@ -685,6 +685,63 @@ def q_pca_gate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_bpe_gate(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE training (extras/bpe.py; Sennrich et al. 2016):
+    (a) the merge list learned from the DISTRIBUTED word-count fit must
+    equal the merge list learned by a plain single-process recount of
+    the same parquet (the kmeans-style equivalence gate), and (b) the
+    distributed apply's per-doc token counts must equal the reference
+    encoder's count on EVERY document."""
+    import numpy as np
+    import ray.data as rd
+
+    from .bpe import (
+        bpe_token_counts,
+        encode_word,
+        fit_bpe,
+        learn_merges,
+        reference_word_counts,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = fit_bpe(ds)
+    ref_merges = learn_merges(reference_word_counts(f"{sf_dir}/documents.parquet"))
+    fit_equal = merges == ref_merges
+
+    got = {
+        int(r["doc_id"]): int(r["n_bpe_tokens"])
+        for r in bpe_token_counts(ds, merges).take_all()
+    }
+    import re
+
+    import pyarrow.parquet as pq
+
+    ranks = {p: i for i, p in enumerate(ref_merges)}
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    memo: dict = {}
+    ok = 0
+    n = t.num_rows
+    for doc_id, txt in zip(t.column("doc_id"), t.column("text")):
+        s = txt.as_py() or ""
+        total = 0
+        for w in re.findall(r"[a-z0-9]+", s.lower()):
+            c = memo.get(w)
+            if c is None:
+                c = memo[w] = len(encode_word(w, ranks))
+            total += c
+        if got.get(int(doc_id.as_py())) == total:
+            ok += 1
+    apply_frac = ok / n if n else 1.0
+    return pd.DataFrame(
+        {
+            "fit_equal": [bool(fit_equal)],
+            "apply_equal_frac": [float(apply_frac)],
+            "n_merges": [len(merges)],
+            "passes": [bool(fit_equal and apply_frac == 1.0)],
+        }
+    )
+
+
 def q_punkt_gate(sf_dir: str) -> pd.DataFrame:
     """Boundary-exactness of the unsupervised Punkt sentencizer
     (stages/punkt.py; Kiss & Strunk 2006): train on the deterministic
@@ -782,6 +839,9 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     m = q_pca_gate(sf_dir).iloc[0]
     add("pca_cov_max_err", m["cov_max_abs_err"], 1e-9, m["cov_max_abs_err"] <= 1e-9)
     add("pca_path_max_err", m["path_max_abs_err"], 1e-6, m["path_max_abs_err"] <= 1e-6)
+    m = q_bpe_gate(sf_dir).iloc[0]
+    add("bpe_fit_equal", 1.0 if m["fit_equal"] else 0.0, 1.0, m["fit_equal"])
+    add("bpe_apply_equal_frac", m["apply_equal_frac"], 1.0, m["apply_equal_frac"] == 1.0)
     m = q_kmeans_equivalence(sf_dir).iloc[0]
     add("kmeans_assign_equal_frac", m["assign_equal_frac"], 1.0, m["passes"])
     add("kmeans_centroid_max_err", m["centroid_max_err"], 1e-9, m["centroid_max_err"] < 1e-9)
