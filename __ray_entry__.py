@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.collocations import q_pmi_collocations
     from kazu_ray.extras.pca import q_pca_project
     from kazu_ray.extras.bpe import q_bpe_train
+    from kazu_ray.extras.graph import q_graph_triangles
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -357,6 +358,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Distributed BPE training; fit/apply equivalence vs the
         # single-process reference is the bpe_* rows of approx_metrics.
         "bpe_train": q_bpe_train,
+        # Per-node triangle counts / clustering coefficient over the
+        # derived co-occurrence graph; exact integer parity vs DuckDB's
+        # closed-wedge self-join is the triangles_parity row of
+        # approx_metrics.
+        "graph_triangles": q_graph_triangles,
     }
 
 

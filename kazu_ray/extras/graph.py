@@ -200,6 +200,424 @@ def pagerank(
     return ranks.select_columns(["node", "rank"])
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient
+# ---------------------------------------------------------------------------
+#
+# Entity co-occurrence graphs (the KG pipeline's co-occurs edges) are
+# triangle-dense by construction; triangle counts per node drive the
+# local clustering coefficient, a standard KG-quality and community
+# signal.  The distributed path is degree-ordered wedge counting
+# (Cohen 2009 / Suri & Vassilvitskii 2011 MapReduce formulation):
+# orienting every undirected edge from lower (degree, node) rank to
+# higher bounds each node's out-degree by O(sqrt(m)), so the wedge set
+# generated per pivot is O(m^1.5) total worst-case instead of
+# sum(deg^2) — hub-safe on skewed co-occurrence graphs.  Three coarse
+# hash exchanges (pair-dedup, wedge-vs-edge match, per-node count),
+# each the repo's coarse-key + vectorized map_groups pattern; counts
+# are integers so cross-engine parity with DuckDB is EXACT.
+
+TRI_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("degree", pa.int64()), ("triangles", pa.int64())]
+)
+
+_H1 = 0x9E3779B97F4A7C15
+_H2 = 0xC2B2AE3D27D4EB4F
+
+
+def _pair_part(a, b, nparts: int):
+    """Deterministic partition id for a node pair (numpy int64 arrays)."""
+    import numpy as np
+
+    h = (a.astype(np.uint64) * np.uint64(_H1)) ^ (
+        b.astype(np.uint64) * np.uint64(_H2)
+    )
+    return ((h >> np.uint64(17)) % np.uint64(nparts)).astype(np.int64)
+
+
+def _node_part(n, nparts: int):
+    import numpy as np
+
+    h = n.astype(np.uint64) * np.uint64(_H1)
+    return ((h >> np.uint64(33)) % np.uint64(nparts)).astype(np.int64)
+
+
+def _triangles_driver(edges: pa.Table) -> pa.Table:
+    """Exact bounded-input path: canonical edge set, degree-ordered
+    orientation, per-edge sorted-neighbor intersection on the driver."""
+    import numpy as np
+
+    src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = src != dst
+    lo = np.minimum(src[keep], dst[keep])
+    hi = np.maximum(src[keep], dst[keep])
+    if len(lo) == 0:
+        return TRI_SCHEMA.empty_table()
+    uv = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    nodes, idx = np.unique(uv.ravel(), return_inverse=True)
+    ui, vi = idx.reshape(-1, 2)[:, 0], idx.reshape(-1, 2)[:, 1]
+    n = len(nodes)
+    deg = np.bincount(ui, minlength=n) + np.bincount(vi, minlength=n)
+    # orient low (deg, node-index) rank -> high
+    u_first = (deg[ui] < deg[vi]) | ((deg[ui] == deg[vi]) & (ui < vi))
+    s = np.where(u_first, ui, vi)
+    d = np.where(u_first, vi, ui)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    starts = np.searchsorted(s, np.arange(n))
+    ends = np.searchsorted(s, np.arange(n) + 1)
+    tri = np.zeros(n, dtype=np.int64)
+    for a, b in zip(s, d):
+        common = np.intersect1d(
+            d[starts[a] : ends[a]], d[starts[b] : ends[b]], assume_unique=True
+        )
+        if len(common):
+            tri[a] += len(common)
+            tri[b] += len(common)
+            np.add.at(tri, common, 1)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "degree": pa.array(deg.astype(np.int64), pa.int64()),
+            "triangles": pa.array(tri, pa.int64()),
+        }
+    )
+
+
+def triangle_counts(
+    edges_ds,
+    num_partitions: int | None = None,
+    driver_threshold: int = 100_000,
+):
+    """Per-node triangle counts over an undirected (src, dst) int64 edge
+    Dataset → (node, degree, triangles).
+
+    Self-loops are dropped and parallel edges collapse to one; every
+    triangle contributes 1 to each of its three corners.  Edge sets at
+    or below ``driver_threshold`` run the exact driver path; above it,
+    the degree-ordered wedge-count pipeline (three coarse hash
+    exchanges, all per-partition work vectorized in polars/numpy).  The
+    two paths agree exactly (integer counts; pinned in test_graph.py),
+    and DuckDB recomputing the closed-wedge self-join matches exactly
+    (triangles_parity gate)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..context import shuffle_partitions
+
+    nparts = num_partitions or shuffle_partitions()
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(TRI_SCHEMA.empty_table())
+    if n_edges <= driver_threshold:
+        import ray
+
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        return rd.from_arrow(_triangles_driver(pa.concat_tables(blocks)))
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src != dst
+        lo = np.minimum(src[keep], dst[keep])
+        hi = np.maximum(src[keep], dst[keep])
+        return pa.table(
+            {
+                "part": pa.array(_pair_part(lo, hi, nparts)),
+                "u": pa.array(lo, pa.int64()),
+                "v": pa.array(hi, pa.int64()),
+            }
+        )
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .unique(subset=["u", "v"])
+            .select(["u", "v"])
+            .to_arrow()
+            .cast(pa.schema([("u", pa.int64()), ("v", pa.int64())]))
+        )
+
+    # global pair-dedup is correct because equal pairs share a partition
+    ded = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ns = np.concatenate(
+            [
+                t.column("u").to_numpy(zero_copy_only=False),
+                t.column("v").to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        return pa.table(
+            {"npart": pa.array(_node_part(ns, nparts)), "node": pa.array(ns)}
+        )
+
+    def count_nodes(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("node")
+            .len(name="deg")
+            .select(["node", "deg"])
+            .to_arrow()
+            .cast(pa.schema([("node", pa.int64()), ("deg", pa.int64())]))
+        )
+
+    deg = (
+        ded.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(count_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+
+    from ..joins import hash_join
+
+    e1 = hash_join(
+        ded,
+        deg.rename_columns({"deg": "deg_u"}),
+        left_on="u",
+        right_on="node",
+        num_partitions=nparts,
+        left_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("deg_u", pa.int64())]),
+    )
+    e2 = hash_join(
+        e1,
+        deg.rename_columns({"deg": "deg_v"}),
+        left_on="v",
+        right_on="node",
+        num_partitions=nparts,
+        left_schema=pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("deg_u", pa.int64())]
+        ),
+        right_schema=pa.schema([("node", pa.int64()), ("deg_v", pa.int64())]),
+    )
+
+    ORI_SCHEMA = pa.schema(
+        [
+            ("spart", pa.int64()),
+            ("src", pa.int64()),
+            ("dst", pa.int64()),
+            ("ddeg", pa.int64()),
+        ]
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg_v").to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(u_first, u, v)
+        d = np.where(u_first, v, u)
+        dd = np.where(u_first, dv, du)
+        return pa.table(
+            {
+                "spart": pa.array(_node_part(s, nparts)),
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "ddeg": pa.array(dd, pa.int64()),
+            }
+        ).cast(ORI_SCHEMA)
+
+    ori = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    W_SCHEMA = pa.schema(
+        [
+            ("wpart", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("pivot", pa.int64()),
+        ]
+    )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+
+        df = pl.from_arrow(t).select(["src", "dst", "ddeg"])
+        j = df.join(df, on="src", suffix="_r")
+        # rank-order the wedge legs so (a, b) matches the closing edge's
+        # own low-rank -> high-rank orientation
+        j = j.filter(
+            (pl.col("ddeg") < pl.col("ddeg_r"))
+            | (
+                (pl.col("ddeg") == pl.col("ddeg_r"))
+                & (pl.col("dst") < pl.col("dst_r"))
+            )
+        )
+        a = j.get_column("dst").to_numpy().astype(np.int64)
+        b = j.get_column("dst_r").to_numpy().astype(np.int64)
+        piv = j.get_column("src").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "wpart": pa.array(_pair_part(a, b, nparts)),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "pivot": pa.array(piv),
+            }
+        ).cast(W_SCHEMA)
+
+    w = ori.groupby("spart").map_groups(wedges, batch_format="pyarrow")
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "wpart": pa.array(_pair_part(a, b, nparts)),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "pivot": pa.array(np.full(len(a), -1, dtype=np.int64)),
+            }
+        ).cast(W_SCHEMA)
+
+    tagged = ori.map_batches(tag_edges, batch_format="pyarrow")
+
+    def match(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        closing = df.filter(pl.col("pivot") == -1).select(["a", "b"])
+        wed = df.filter(pl.col("pivot") != -1)
+        m = wed.join(closing, on=["a", "b"], how="semi")
+        ns = np.concatenate(
+            [
+                m.get_column("pivot").to_numpy(),
+                m.get_column("a").to_numpy(),
+                m.get_column("b").to_numpy(),
+            ]
+        ).astype(np.int64)
+        return pa.table(
+            {"npart": pa.array(_node_part(ns, nparts)), "node": pa.array(ns)}
+        ).cast(pa.schema([("npart", pa.int64()), ("node", pa.int64())]))
+
+    tcnt = (
+        w.union(tagged)
+        .groupby("wpart")
+        .map_groups(match, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(count_nodes, batch_format="pyarrow")
+        .rename_columns({"deg": "triangles"})
+    )
+
+    out = hash_join(
+        deg,
+        tcnt,
+        left_on="node",
+        right_on="node",
+        how="left_outer",
+        num_partitions=nparts,
+        left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("triangles", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "degree": t.column("deg"),
+                "triangles": pc.fill_null(t.column("triangles"), 0),
+            }
+        ).cast(TRI_SCHEMA)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def triangles_duckdb(con, edges_sql: str) -> list[tuple[int, int, int]]:
+    """Ground truth: closed-wedge self-join over the canonical undirected
+    edge set (a < b < c enumerates every triangle exactly once).
+    Returns sorted (node, degree, triangles) tuples."""
+    rows = con.execute(
+        f"""
+        WITH raw AS ({edges_sql}),
+        e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        deg AS (SELECT node, COUNT(*) AS degree FROM
+                  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY 1),
+        tn AS (SELECT node, COUNT(*) AS triangles FROM
+                 (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+               GROUP BY 1)
+        SELECT d.node, d.degree, COALESCE(tn.triangles, 0)
+        FROM deg d LEFT JOIN tn USING (node) ORDER BY 1
+        """
+    ).fetchall()
+    return [(int(a), int(b), int(c)) for a, b, c in rows]
+
+
+def cooccur_edges(sf_dir: str):
+    """Deterministic bounded co-occurrence-style graph derived from
+    lineitem (shared by the triangle data surface, its parity gate and
+    the DuckDB ground truth): part/supplier/order keys folded into one
+    127-node id space so the graph is clumpy enough to carry triangles."""
+    import numpy as np
+    import ray.data as rd
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keep = ok % 5 == 0
+        ok = ok[keep]
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)[keep]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        src = np.concatenate([pk % 127, pk % 127]).astype(np.int64)
+        dst = np.concatenate([sk % 127, ok % 127]).astype(np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    ).map_batches(derive, batch_format="pyarrow")
+
+
+def cooccur_edges_sql(sf_dir: str) -> str:
+    li = f"{sf_dir}/lineitem.parquet"
+    return f"""
+        SELECT l_partkey % 127 AS src, l_suppkey % 127 AS dst
+        FROM read_parquet('{li}') WHERE l_orderkey % 5 = 0
+        UNION ALL
+        SELECT l_partkey % 127 AS src, l_orderkey % 127 AS dst
+        FROM read_parquet('{li}') WHERE l_orderkey % 5 = 0
+    """
+
+
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts + local clustering coefficient over the
+    derived co-occurrence graph.  Exact cross-engine parity with the
+    DuckDB closed-wedge self-join is the triangles_parity row of
+    approx_metrics (this data surface sits past the driver's 50-query
+    budget)."""
+    import pandas as pd
+
+    tri = triangle_counts(cooccur_edges(sf_dir)).take_all()
+    df = pd.DataFrame(tri).sort_values("node").reset_index(drop=True)
+    denom = (df["degree"] * (df["degree"] - 1) / 2).clip(lower=1)
+    df["clustering"] = (df["triangles"] / denom).round(9)
+    return df
+
+
 def pagerank_duckdb(
     con,
     edges_sql: str,

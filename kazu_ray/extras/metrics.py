@@ -498,6 +498,33 @@ def q_pagerank_parity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_triangle_parity(sf_dir: str) -> pd.DataFrame:
+    """Triangle-count parity: the distributed degree-ordered wedge-count
+    pipeline (forced past the driver-path threshold) vs DuckDB's
+    closed-wedge self-join on the same derived co-occurrence graph —
+    integer counts, so equality is exact."""
+    import duckdb
+
+    from .graph import cooccur_edges, cooccur_edges_sql, triangle_counts
+
+    got = sorted(
+        (r["node"], r["degree"], r["triangles"])
+        for r in triangle_counts(
+            cooccur_edges(sf_dir), driver_threshold=0
+        ).take_all()
+    )
+    from .graph import triangles_duckdb
+
+    exp = triangles_duckdb(duckdb.connect(), cooccur_edges_sql(sf_dir))
+    return pd.DataFrame(
+        {
+            "paths_equal": [got == exp],
+            "n_nodes": [len(got)],
+            "n_triangles": [sum(t for _, _, t in got) // 3],
+        }
+    )
+
+
 def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter contract on the documents key space: zero false
     negatives (structural guarantee) and measured false-positive rate
@@ -825,6 +852,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("packing_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_pagerank_parity(sf_dir).iloc[0]
     add("pagerank_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_triangle_parity(sf_dir).iloc[0]
+    add("triangles_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

@@ -94,3 +94,107 @@ def test_pagerank_empty(ray_session):
         pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
     )
     assert pagerank(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+from kazu_ray.extras.graph import (  # noqa: E402
+    cooccur_edges,
+    cooccur_edges_sql,
+    triangle_counts,
+    triangles_duckdb,
+)
+
+
+def _tri_rows(ds):
+    return sorted((r["node"], r["degree"], r["triangles"]) for r in ds.take_all())
+
+
+def test_triangles_hand_graphs(ray_session):
+    import ray.data as rd
+
+    # K3 plus a pendant, a self-loop and a parallel edge (both ignored)
+    edges = pa.table(
+        {
+            "src": pa.array([1, 2, 3, 3, 1, 4, 2], pa.int64()),
+            "dst": pa.array([2, 3, 1, 3, 2, 1, 1], pa.int64()),
+        }
+    )
+    got = _tri_rows(triangle_counts(rd.from_arrow(edges)))
+    assert got == [(1, 3, 1), (2, 2, 1), (3, 2, 1), (4, 1, 0)]
+
+    # square with one diagonal: two triangles sharing edge (1,3)
+    sq = pa.table(
+        {
+            "src": pa.array([1, 2, 3, 4, 1], pa.int64()),
+            "dst": pa.array([2, 3, 4, 1, 3], pa.int64()),
+        }
+    )
+    got = _tri_rows(triangle_counts(rd.from_arrow(sq)))
+    assert got == [(1, 3, 2), (2, 2, 1), (3, 3, 2), (4, 2, 1)]
+
+
+def test_triangles_matches_duckdb(ray_session):
+    got = _tri_rows(triangle_counts(cooccur_edges(SF)))
+    exp = triangles_duckdb(duckdb.connect(), cooccur_edges_sql(SF))
+    assert got == exp
+    assert sum(t for _, _, t in got) % 3 == 0
+    assert sum(t for _, _, t in got) > 0
+
+
+def test_triangles_paths_equivalent(ray_session):
+    """Distributed wedge-count pipeline == exact driver intersection
+    path, bit-for-bit (integer counts)."""
+    a = _tri_rows(triangle_counts(cooccur_edges(SF)))
+    b = _tri_rows(triangle_counts(cooccur_edges(SF), driver_threshold=0))
+    assert a == b
+
+
+def test_triangles_random_vs_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    n, m = 40, 220
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    got = _tri_rows(
+        triangle_counts(
+            rd.from_arrow(
+                pa.table(
+                    {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+                )
+            ),
+            driver_threshold=0,
+        )
+    )
+    adj = set()
+    for s, d in zip(src, dst):
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    nodes = sorted({x for e in adj for x in e})
+    deg = {v: sum(1 for e in adj if v in e) for v in nodes}
+    tri = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    assert got == [(v, deg[v], tri[v]) for v in nodes]
+
+
+def test_triangles_empty(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert triangle_counts(empty).count() == 0
+    # self-loops only -> empty result
+    loops = rd.from_arrow(
+        pa.table({"src": pa.array([5, 6], pa.int64()), "dst": pa.array([5, 6], pa.int64())})
+    )
+    assert triangle_counts(loops).count() == 0
