@@ -215,7 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.collocations import q_pmi_collocations
     from kazu_ray.extras.pca import q_pca_project
     from kazu_ray.extras.bpe import q_bpe_train
-    from kazu_ray.extras.graph import q_graph_triangles
+    from kazu_ray.extras.graph import q_graph_khop, q_graph_triangles
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -363,6 +363,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # closed-wedge self-join is the triangles_parity row of
         # approx_metrics.
         "graph_triangles": q_graph_triangles,
+        # 3-hop seed neighborhoods (BSP frontier expansion); exact
+        # parity vs DuckDB's bounded recursive CTE is the khop_parity
+        # row of approx_metrics.
+        "graph_khop": q_graph_khop,
     }
 
 

@@ -568,6 +568,228 @@ def triangles_duckdb(con, edges_sql: str) -> list[tuple[int, int, int]]:
     return [(int(a), int(b), int(c)) for a, b, c in rows]
 
 
+# ---------------------------------------------------------------------------
+# k-hop reachability (multi-source BFS)
+# ---------------------------------------------------------------------------
+#
+# "Which entities are within k edges of these seed CURIEs" is the
+# canonical KG neighborhood query (subgraph extraction for curation
+# review, context windows for disambiguation priors).  Bulk-synchronous
+# frontier expansion: each hop is one partition-wise join of the edge
+# table against the (small, changing) frontier plus one anti-join
+# against the visited set — the textbook BSP BFS whose per-iteration
+# driver traffic is a single frontier count.  At cluster scale the edge
+# table would be hash-partitioned by src once and cached; only frontier
+# and visited rows move between hops.
+
+DIST_SCHEMA = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+
+def _khop_driver(edges: pa.Table, seeds: list[int], k: int) -> pa.Table:
+    """Exact bounded-input path: CSR + numpy frontier sweep."""
+    import numpy as np
+
+    src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst, np.asarray(seeds, np.int64)]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    order = np.argsort(si, kind="stable")
+    si, di = si[order], di[order]
+    starts = np.searchsorted(si, np.arange(n))
+    ends = np.searchsorted(si, np.arange(n) + 1)
+    dist = np.full(n, -1, dtype=np.int64)
+    frontier = np.unique(np.searchsorted(nodes, np.asarray(seeds, np.int64)))
+    dist[frontier] = 0
+    for hop in range(1, k + 1):
+        if len(frontier) == 0:
+            break
+        nbrs = np.concatenate(
+            [di[starts[f] : ends[f]] for f in frontier]
+        ) if len(frontier) else np.empty(0, np.int64)
+        nbrs = np.unique(nbrs)
+        frontier = nbrs[dist[nbrs] == -1]
+        dist[frontier] = hop
+    found = dist >= 0
+    return pa.table(
+        {
+            "node": pa.array(nodes[found], pa.int64()),
+            "dist": pa.array(dist[found], pa.int64()),
+        }
+    )
+
+
+def khop_distances(
+    edges_ds,
+    seeds: list[int],
+    k: int,
+    num_partitions: int | None = None,
+    driver_threshold: int = 100_000,
+):
+    """Minimum hop count from any seed over a DIRECTED (src, dst) int64
+    edge Dataset → (node, dist) for every node within k hops (seeds at
+    dist 0).  Deterministic; parallel edges are harmless (frontiers
+    dedup per hop).  Matches DuckDB's recursive-CTE shortest-hop
+    ground truth exactly (khop_parity gate)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..context import shuffle_partitions
+    from ..joins import hash_join
+
+    nparts = num_partitions or shuffle_partitions()
+    edges = edges_ds.materialize()
+    if edges.count() <= driver_threshold:
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        table = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        )
+        return rd.from_arrow(_khop_driver(table, seeds, k))
+
+    seed_arr = np.unique(np.asarray(seeds, dtype=np.int64))
+    visited = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_arr, pa.int64()),
+                "dist": pa.array(np.zeros(len(seed_arr), np.int64)),
+            }
+        )
+    ).materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+
+    def dedup_nodes(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .unique(subset=["node"])
+            .select(["node"])
+            .to_arrow()
+            .cast(pa.schema([("node", pa.int64())]))
+        )
+
+    for hop in range(1, k + 1):
+        if frontier.count() == 0:
+            break
+        hits = hash_join(
+            edges,
+            frontier.rename_columns({"node": "fnode"}),
+            left_on="src",
+            right_on="fnode",
+            how="left_semi",
+            num_partitions=nparts,
+            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            right_schema=pa.schema([("fnode", pa.int64())]),
+        )
+
+        def to_nodes(t: pa.Table) -> pa.Table:
+            ns = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"npart": pa.array(_node_part(ns, nparts)), "node": pa.array(ns)}
+            )
+
+        nxt = (
+            hits.map_batches(to_nodes, batch_format="pyarrow")
+            .groupby("npart")
+            .map_groups(
+                lambda t: dedup_nodes(t.select(["node"])), batch_format="pyarrow"
+            )
+        )
+        frontier = hash_join(
+            nxt,
+            visited,
+            left_on="node",
+            right_on="node",
+            how="left_anti",
+            num_partitions=nparts,
+            left_schema=pa.schema([("node", pa.int64())]),
+            right_schema=DIST_SCHEMA,
+        ).materialize()
+        stamped = frontier.map_batches(
+            lambda t, hop=hop: t.append_column(
+                "dist", pa.array(np.full(t.num_rows, hop, np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        visited = visited.union(stamped).materialize()
+
+    return visited
+
+
+def khop_duckdb(
+    con, edges_sql: str, seeds_sql: str, k: int
+) -> list[tuple[int, int]]:
+    """Ground truth: bounded recursive CTE with UNION-distinct frontier
+    rows (at most n*(k+1) states), MIN(dist) per node."""
+    rows = con.execute(
+        f"""
+        WITH RECURSIVE e AS ({edges_sql}),
+        walk(node, dist) AS (
+          SELECT node, 0 FROM ({seeds_sql})
+          UNION
+          SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+          WHERE w.dist < {int(k)}
+        )
+        SELECT node, MIN(dist) FROM walk GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    return [(int(a), int(b)) for a, b in rows]
+
+
+def q_graph_khop(sf_dir: str):
+    """3-hop neighborhood of the deterministic seed set over the layered
+    directed graph (same derivation as the PageRank gate).  Exact
+    integer parity vs the recursive-CTE ground truth is the khop_parity
+    row of approx_metrics (this data surface sits past the driver's
+    50-query budget)."""
+    import pandas as pd
+
+    rows = khop_distances(
+        layered_edges(sf_dir), seeds=list(range(0, 400, 50)), k=3
+    ).take_all()
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["dist", "node"])
+        .reset_index(drop=True)
+    )
+
+
+def layered_edges(sf_dir: str):
+    """The PageRank gate's layered directed graph (orderkey/partkey/
+    suppkey folded into three overlapping id ranges), reused for the
+    k-hop surface so distances span several hops."""
+    import numpy as np
+    import ray.data as rd
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ok % 211, pk % 193]).astype(np.int64)
+        dst = np.concatenate([pk % 193, sk % 97 + 300]).astype(np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    ).map_batches(derive, batch_format="pyarrow")
+
+
+def layered_edges_sql(sf_dir: str) -> str:
+    li = f"{sf_dir}/lineitem.parquet"
+    return f"""
+        SELECT l_orderkey % 211 AS src, l_partkey % 193 AS dst
+        FROM read_parquet('{li}')
+        UNION ALL
+        SELECT l_partkey % 193 AS src, l_suppkey % 97 + 300 AS dst
+        FROM read_parquet('{li}')
+    """
+
+
 def cooccur_edges(sf_dir: str):
     """Deterministic bounded co-occurrence-style graph derived from
     lineitem (shared by the triangle data surface, its parity gate and

@@ -525,6 +525,32 @@ def q_triangle_parity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_khop_parity(sf_dir: str) -> pd.DataFrame:
+    """k-hop reachability parity: the BSP frontier-expansion path
+    (forced past the driver-path threshold) vs DuckDB's bounded
+    recursive CTE, exact integer equality on (node, min-dist)."""
+    import duckdb
+
+    from .graph import khop_distances, khop_duckdb, layered_edges, layered_edges_sql
+
+    seeds = list(range(0, 400, 50))
+    got = sorted(
+        (r["node"], r["dist"])
+        for r in khop_distances(
+            layered_edges(sf_dir), seeds=seeds, k=3, driver_threshold=0
+        ).take_all()
+    )
+    exp = khop_duckdb(
+        duckdb.connect(),
+        layered_edges_sql(sf_dir),
+        "SELECT UNNEST(" + str(seeds) + ") AS node",
+        k=3,
+    )
+    return pd.DataFrame(
+        {"paths_equal": [got == exp], "n_reached": [len(got)]}
+    )
+
+
 def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter contract on the documents key space: zero false
     negatives (structural guarantee) and measured false-positive rate
@@ -854,6 +880,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("pagerank_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_triangle_parity(sf_dir).iloc[0]
     add("triangles_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_khop_parity(sf_dir).iloc[0]
+    add("khop_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

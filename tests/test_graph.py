@@ -198,3 +198,71 @@ def test_triangles_empty(ray_session):
         pa.table({"src": pa.array([5, 6], pa.int64()), "dst": pa.array([5, 6], pa.int64())})
     )
     assert triangle_counts(loops).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability
+# ---------------------------------------------------------------------------
+
+from kazu_ray.extras.graph import (  # noqa: E402
+    khop_distances,
+    khop_duckdb,
+    layered_edges,
+    layered_edges_sql,
+)
+
+
+def _dist_rows(ds):
+    return sorted((r["node"], r["dist"]) for r in ds.take_all())
+
+
+def test_khop_hand_graph(ray_session):
+    import ray.data as rd
+
+    # 1 -> 2 -> 3 -> 4 -> 5, plus shortcut 1 -> 3 and a back-edge 3 -> 1
+    edges = pa.table(
+        {
+            "src": pa.array([1, 2, 3, 4, 1, 3], pa.int64()),
+            "dst": pa.array([2, 3, 4, 5, 3, 1], pa.int64()),
+        }
+    )
+    got = _dist_rows(khop_distances(rd.from_arrow(edges), seeds=[1], k=2))
+    assert got == [(1, 0), (2, 1), (3, 1), (4, 2)]
+    # seed not in the graph -> just itself
+    got = _dist_rows(khop_distances(rd.from_arrow(edges), seeds=[99], k=2))
+    assert got == [(99, 0)]
+
+
+def test_khop_matches_duckdb(ray_session):
+    seeds = list(range(0, 400, 50))
+    got = _dist_rows(khop_distances(layered_edges(SF), seeds=seeds, k=3))
+    exp = khop_duckdb(
+        duckdb.connect(),
+        layered_edges_sql(SF),
+        "SELECT UNNEST(" + str(seeds) + ") AS node",
+        k=3,
+    )
+    assert got == exp
+    assert {d for _, d in got} >= {0, 1}
+
+
+def test_khop_paths_equivalent(ray_session):
+    seeds = [0, 7, 100]
+    a = _dist_rows(khop_distances(layered_edges(SF), seeds=seeds, k=2))
+    b = _dist_rows(
+        khop_distances(layered_edges(SF), seeds=seeds, k=2, driver_threshold=0)
+    )
+    assert a == b
+
+
+def test_khop_early_exit(ray_session):
+    import ray.data as rd
+
+    # isolated seed: frontier empties after hop 1; k=5 must not loop
+    edges = pa.table(
+        {"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())}
+    )
+    got = _dist_rows(
+        khop_distances(rd.from_arrow(edges), seeds=[1], k=5, driver_threshold=0)
+    )
+    assert got == [(1, 0), (2, 1)]
