@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.pca import q_pca_project
     from kazu_ray.extras.bpe import q_bpe_train
     from kazu_ray.extras.graph import q_graph_khop, q_graph_triangles
+    from kazu_ray.extras.kgembed import q_kg_embeddings
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -367,6 +368,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parity vs DuckDB's bounded recursive CTE is the khop_parity
         # row of approx_metrics.
         "graph_khop": q_graph_khop,
+        # TransE KG embeddings trained over the derived relational
+        # triple table (broadcast-params epochs, sparse gradient
+        # partials); distributed-vs-reference equivalence and filtered
+        # link-prediction quality are the transe_* rows of
+        # approx_metrics.
+        "kg_embeddings": q_kg_embeddings,
     }
 
 

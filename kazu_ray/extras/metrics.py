@@ -551,6 +551,59 @@ def q_khop_parity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_transe_gate(sf_dir: str) -> pd.DataFrame:
+    """TransE trainer gates over the derived relational KG:
+
+    - equivalence: the distributed epoch pass (broadcast params, sparse
+      per-batch gradient partials) reproduces the single-process
+      reference running the identical schedule to float64 round-off
+      (10 epochs on the REAL distributed path);
+    - quality: filtered link prediction after full training (the
+      reference math the equivalence gate just certified, so the long
+      schedule runs in-process) — hits@1 / hits@10 far above the
+      1/n_entities random baseline, and final loss well under the
+      initial loss."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .kgembed import (
+        build_vocab,
+        encode_triples,
+        link_prediction_eval,
+        relational_triples,
+        transe_train,
+        transe_train_local,
+    )
+
+    triples = relational_triples(sf_dir)
+    entities, relations = build_vocab(triples)
+    enc = encode_triples(triples, entities, relations).materialize()
+    tbl = pa.concat_tables(
+        [t for t in ray.get(enc.to_arrow_refs()) if t.num_rows]
+    )
+
+    E_d, R_d, loss_d = transe_train(enc, entities, relations, epochs=10)
+    E_l, R_l, loss_l = transe_train_local(tbl, entities, relations, epochs=10)
+    equiv_err = float(
+        max(abs(E_d - E_l).max(), abs(R_d - R_l).max(), abs(np.array(loss_d) - np.array(loss_l)).max())
+    )
+
+    E, R, losses = transe_train_local(tbl, entities, relations, epochs=200)
+    hits, mrr = link_prediction_eval(rd.from_arrow(tbl), E, R)
+    return pd.DataFrame(
+        {
+            "equiv_max_err": [equiv_err],
+            "hits1": [hits[1]],
+            "hits10": [hits[10]],
+            "mrr": [mrr],
+            "loss_ratio": [losses[-1] / losses[0]],
+            "n_entities": [len(entities)],
+        }
+    )
+
+
 def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter contract on the documents key space: zero false
     negatives (structural guarantee) and measured false-positive rate
@@ -882,6 +935,11 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("triangles_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_khop_parity(sf_dir).iloc[0]
     add("khop_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_transe_gate(sf_dir).iloc[0]
+    add("transe_equiv_max_err", m["equiv_max_err"], 1e-9, m["equiv_max_err"] <= 1e-9)
+    add("transe_hits1", m["hits1"], 0.8, m["hits1"] >= 0.8)
+    add("transe_hits10", m["hits10"], 0.95, m["hits10"] >= 0.95)
+    add("transe_loss_ratio", m["loss_ratio"], 0.2, m["loss_ratio"] <= 0.2)
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]
