@@ -102,3 +102,26 @@ def test_geometry_learned(ray_session):
         other = groups[(gi + 1) % len(groups)]
         inter.append(np.linalg.norm(a - E[other[0]]))
     assert np.mean(intra) < np.mean(inter)
+
+
+def test_train_on_flagship_edges(ray_session, compiled_dicts):
+    """The trainer consumes the KG pipeline's own edge table unchanged:
+    vocab from the emitted CURIEs, training converges, and the
+    distributed path stays equivalent on real (skewed) triples."""
+    import ray
+
+    from kazu_ray.pipelines.kg import edges_pipeline
+    from kazu_ray.sources.interleave import interleaved_docs
+
+    edges = edges_pipeline(interleaved_docs(SF), compiled_dicts).select_columns(
+        ["subj", "pred", "obj"]
+    ).materialize()
+    entities, relations = build_vocab(edges)
+    assert "mentions" in relations or "maps_to" in relations
+    enc = encode_triples(edges, entities, relations).materialize()
+    tbl = pa.concat_tables([t for t in ray.get(enc.to_arrow_refs()) if t.num_rows])
+    E_d, R_d, loss_d = transe_train(enc, entities, relations, epochs=5)
+    E_l, R_l, loss_l = transe_train_local(tbl, entities, relations, epochs=5)
+    assert np.abs(E_d - E_l).max() <= 1e-9
+    E, R, losses = transe_train_local(tbl, entities, relations, epochs=100)
+    assert losses[-1] < losses[0]
