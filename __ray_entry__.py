@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.bpe import q_bpe_train
     from kazu_ray.extras.graph import q_graph_khop, q_graph_triangles
     from kazu_ray.extras.kgembed import q_kg_embeddings
+    from kazu_ray.extras.kn_lm import q_kn_perplexity
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -374,6 +375,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link-prediction quality are the transe_* rows of
         # approx_metrics.
         "kg_embeddings": q_kg_embeddings,
+        # interpolated Kneser-Ney bigram LM perplexity (CCNet-grade
+        # quality score, bigram upgrade of lm_perplexity); the full
+        # pipeline is recomputed by DuckDB and matches exactly — the
+        # kn_parity row of approx_metrics.
+        "kn_perplexity": q_kn_perplexity,
     }
 
 

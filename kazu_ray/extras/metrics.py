@@ -604,6 +604,34 @@ def q_transe_gate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_kn_parity(sf_dir: str) -> pd.DataFrame:
+    """Kneser-Ney bigram LM parity: the distributed two-pass pipeline
+    (vocab exchange, bigram-count exchange, broadcast-model scoring) vs
+    DuckDB recomputing the ENTIRE pipeline — exact on the rounded
+    per-doc columns."""
+    import duckdb
+
+    from .kn_lm import kn_perplexity_oracle_sql, q_kn_perplexity
+
+    got = q_kn_perplexity(sf_dir).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(kn_perplexity_oracle_sql()).df()
+    equal = len(got) == len(exp) and bool(
+        (got["doc_id"].values == exp["doc_id"].values).all()
+        and (got["n_tokens"].values == exp["n_tokens"].values).all()
+        and (
+            got["neg_logprob_per_token"].values
+            == exp["neg_logprob_per_token"].values
+        ).all()
+        and (got["ppl"].values == exp["ppl"].values).all()
+    )
+    return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
+
+
 def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter contract on the documents key space: zero false
     negatives (structural guarantee) and measured false-positive rate
@@ -940,6 +968,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("transe_hits1", m["hits1"], 0.8, m["hits1"] >= 0.8)
     add("transe_hits10", m["hits10"], 0.95, m["hits10"] >= 0.95)
     add("transe_loss_ratio", m["loss_ratio"], 0.2, m["loss_ratio"] <= 0.2)
+    m = q_kn_parity(sf_dir).iloc[0]
+    add("kn_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]
