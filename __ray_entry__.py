@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.graph import q_graph_khop, q_graph_triangles
     from kazu_ray.extras.kgembed import q_kg_embeddings
     from kazu_ray.extras.kn_lm import q_kn_perplexity
+    from kazu_ray.extras.chunk_dedup import q_chunk_dedup
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -380,6 +381,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pipeline is recomputed by DuckDB and matches exactly — the
         # kn_parity row of approx_metrics.
         "kn_perplexity": q_kn_perplexity,
+        # C4/Dolma-style global keep-first chunk dedup (the destructive
+        # counterpart to dup_passages' scoring); full-pipeline exact SQL
+        # parity incl. per-doc survivor digests is the chunk_dedup_parity
+        # row of approx_metrics.
+        "chunk_dedup": q_chunk_dedup,
     }
 
 

@@ -632,6 +632,35 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_chunk_dedup_parity(sf_dir: str) -> pd.DataFrame:
+    """Global keep-first chunk-dedup parity: the two-exchange Ray
+    pipeline vs DuckDB replaying the full operator (same chunking, same
+    winner rule, same md5 digest of each doc's surviving text) — exact
+    on every column including the digests."""
+    import duckdb
+
+    from .chunk_dedup import chunk_dedup_oracle_sql, q_chunk_dedup
+
+    got = q_chunk_dedup(sf_dir).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(chunk_dedup_oracle_sql()).df()
+    equal = len(got) == len(exp) and bool(
+        (got["doc_id"].values == exp["doc_id"].values).all()
+        and (got["n_chunks"].values == exp["n_chunks"].values).all()
+        and (got["n_kept"].values == exp["n_kept"].values).all()
+        and (got["kept_frac"].values == exp["kept_frac"].values).all()
+        and (
+            got["kept_digest"].fillna("~").values
+            == exp["kept_digest"].fillna("~").values
+        ).all()
+    )
+    return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
+
+
 def q_bloom_gate(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter contract on the documents key space: zero false
     negatives (structural guarantee) and measured false-positive rate
@@ -970,6 +999,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("transe_loss_ratio", m["loss_ratio"], 0.2, m["loss_ratio"] <= 0.2)
     m = q_kn_parity(sf_dir).iloc[0]
     add("kn_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_chunk_dedup_parity(sf_dir).iloc[0]
+    add("chunk_dedup_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]
