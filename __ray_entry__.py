@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.kgembed import q_kg_embeddings
     from kazu_ray.extras.kn_lm import q_kn_perplexity
     from kazu_ray.extras.chunk_dedup import q_chunk_dedup
+    from kazu_ray.extras.sketches import q_cms_registers
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -386,6 +387,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parity incl. per-doc survivor digests is the chunk_dedup_parity
         # row of approx_metrics.
         "chunk_dedup": q_chunk_dedup,
+        # Count-Min sketch register table over the documents token
+        # stream (mergeable frequency sketch; additive combiner tree,
+        # <= CMS_D*CMS_W rows cross the exchange at any corpus size);
+        # bit-exact register SQL parity + point-query bounds are the
+        # cms_* rows of approx_metrics.
+        "cms_registers": q_cms_registers,
     }
 
 

@@ -15,6 +15,7 @@ cheap at any corpus size.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -632,6 +633,54 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_cms_gate(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch contract on the documents token stream:
+    register-level BIT-EXACT parity vs DuckDB replaying the sketch
+    (same md5 row salts, same column index, same per-cell sums), the
+    structural lower bound (estimate >= true for EVERY vocab token),
+    and the point-query exact fraction (ties to the e/W error bound;
+    at this vocab/width ratio collisions across all CMS_D rows are
+    ~1e-6 probable, so the gate pins >= 0.99)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from .sketches import CMS_D, CMS_W, cms_estimate, cms_sketch_tokens, cms_oracle_sql
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    regs = cms_sketch_tokens(ds)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(cms_oracle_sql()).df()
+    got_cells = {
+        int(d) * CMS_W + int(c): int(regs[d, c])
+        for d, c in zip(*regs.nonzero())
+    }
+    registers_equal = got_cells == dict(
+        zip(exp["cell"].astype(int), exp["cnt"].astype(int))
+    )
+    truth = con.execute(
+        "SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(regexp_extract_all("
+        "lower(text), '[a-z0-9]+')) AS tok FROM documents) GROUP BY tok"
+    ).df()
+    ests = np.array([cms_estimate(regs, t) for t in truth["tok"]])
+    true = truth["cnt"].to_numpy()
+    lower_bound_ok = bool((ests >= true).all())
+    exact_frac = float((ests == true).mean())
+    return pd.DataFrame(
+        {
+            "registers_equal": [registers_equal],
+            "lower_bound_ok": [lower_bound_ok],
+            "exact_frac": [exact_frac],
+            "n_vocab": [len(truth)],
+        }
+    )
+
+
 def q_chunk_dedup_parity(sf_dir: str) -> pd.DataFrame:
     """Global keep-first chunk-dedup parity: the two-exchange Ray
     pipeline vs DuckDB replaying the full operator (same chunking, same
@@ -1001,6 +1050,19 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("kn_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_chunk_dedup_parity(sf_dir).iloc[0]
     add("chunk_dedup_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_cms_gate(sf_dir).iloc[0]
+    add(
+        "cms_register_parity",
+        1.0 if m["registers_equal"] else 0.0,
+        1.0,
+        m["registers_equal"],
+    )
+    add(
+        "cms_point_exact_frac",
+        m["exact_frac"],
+        0.99,
+        bool(m["lower_bound_ok"]) and m["exact_frac"] >= 0.99,
+    )
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

@@ -399,3 +399,135 @@ def q_hll_distinct(sf_dir: str):
             "m": [HLL_M],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+# sketch for token OCCURRENCE counts, complementing Misra-Gries above:
+# MG certifies the heavy tail with a deterministic error bound; CMS
+# answers point queries for ANY key in O(1) with the one-sided
+# guarantee  true <= estimate <= true + eps*N  (eps = e/CMS_W, w.p.
+# 1 - delta per query, delta = e^-CMS_D) — and, unlike MG, CMS partials
+# merge by plain elementwise ADDITION, so the distributed build is a
+# pure combiner tree with a register exchange bounded by CMS_D*CMS_W
+# rows regardless of corpus size.
+#
+# Every step is exactly reproducible in DuckDB (md5-derived row hashes,
+# integer column index, SUM per cell), so the gate checks REGISTER-LEVEL
+# bit-exact parity with SQL replaying the sketch, plus the structural
+# lower-bound guarantee on probe tokens — same discipline as the HLL
+# gate above.
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_cols(tok: str) -> "np.ndarray":
+    """The CMS_D column indexes of one token (md5 of 'd:tok', top 64
+    bits, mod CMS_W) — the salted double-hash family used repo-wide."""
+    import hashlib
+
+    return np.array(
+        [
+            int(hashlib.md5(f"{d}:{tok}".encode()).hexdigest()[:16], 16) % CMS_W
+            for d in range(CMS_D)
+        ],
+        dtype=np.int64,
+    )
+
+
+def cms_sketch_tokens(ds, text: str = "text", nparts: int = 8) -> np.ndarray:
+    """Corpus -> merged (CMS_D, CMS_W) int64 register matrix counting
+    ``[a-z0-9]+`` token occurrences (repo-wide tokenizer, lowercased).
+
+    Per batch: one vectorized polars count per distinct token, then
+    CMS_D md5 hashes per DISTINCT token (not per occurrence) fold the
+    weighted counts into a local matrix — <= CMS_D*CMS_W nonzero cell
+    rows leave each batch no matter how large the batch is.  Cells
+    merge by SUM under a coarse cell-keyed exchange; the assembled
+    matrix is CMS_D*CMS_W ints, broadcastable anywhere."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        counts = (
+            pl.from_arrow(t.select([text]))
+            .select(pl.col(text).str.to_lowercase().str.extract_all(r"[a-z0-9]+"))
+            .explode(text)
+            .drop_nulls()
+            .group_by(text)
+            .len()
+        )
+        local = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for tok, n in zip(counts[text], counts["len"]):
+            local[np.arange(CMS_D), _cms_cols(tok)] += int(n)
+        d_idx, col_idx = np.nonzero(local)
+        cell = d_idx * CMS_W + col_idx
+        return pa.table(
+            {
+                "cell": pa.array(cell, type=pa.int64()),
+                "cnt": pa.array(local[d_idx, col_idx], type=pa.int64()),
+                "part": pa.array(cell % nparts, type=pa.int64()),
+            }
+        )
+
+    def merge_part(g) -> "object":
+        return g.groupby("cell", sort=False, as_index=False)["cnt"].sum()
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
+        .take_all()
+    )  # bounded: <= CMS_D*CMS_W cell rows by construction
+    regs = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in rows:
+        cell = int(r["cell"])
+        regs[cell // CMS_W, cell % CMS_W] = int(r["cnt"])
+    return regs
+
+
+def cms_estimate(regs: np.ndarray, tok: str) -> int:
+    """Point query: min over rows (>= true count, structurally)."""
+    return int(regs[np.arange(CMS_D), _cms_cols(tok.lower())].min())
+
+
+def cms_oracle_sql(text_expr: str = "lower(text)", table: str = "documents") -> str:
+    """The register matrix as one DuckDB query — same md5 salt, same
+    top-64-bit column index, same per-cell SUM."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all({text_expr}, '[a-z0-9]+')) AS tok
+  FROM {table}
+),
+tc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+cells AS (
+  SELECT d,
+         CAST(CAST(concat('0x', substr(md5(concat(d, ':', tok)), 1, 16))
+              AS UBIGINT) % {CMS_W} AS BIGINT) AS col,
+         cnt
+  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d)
+)
+SELECT CAST(d * {CMS_W} + col AS BIGINT) AS cell,
+       CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM cells GROUP BY d, col ORDER BY cell
+"""
+
+
+def q_cms_registers(sf_dir: str):
+    """Query surface: the full CMS register table (cell, cnt) over the
+    documents corpus — deterministic and hash-comparable; bit-exact SQL
+    parity + the point-query bounds are the cms_* rows of
+    approx_metrics."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    regs = cms_sketch_tokens(ds)
+    d_idx, col_idx = np.nonzero(regs)
+    return pd.DataFrame(
+        {
+            "cell": (d_idx * CMS_W + col_idx).astype("int64"),
+            "cnt": regs[d_idx, col_idx].astype("int64"),
+        }
+    ).sort_values("cell", ignore_index=True)

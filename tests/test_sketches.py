@@ -99,3 +99,96 @@ def test_heavy_hitters_small_vocab(ray_session):
     got = heavy_hitters_tokens(rd.from_arrow(t), k=10, nparts=2)
     assert int(got["err_bound"].iloc[0]) == 0
     assert dict(zip(got["token"], got["est_count"])) == {"a": 4, "b": 2, "c": 2}
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+
+def _cms_corpus(n_docs: int, vocab: int) -> "object":
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": range(n_docs),
+            "text": [
+                " ".join(f"tok{(i * 13 + j * j) % vocab}" for j in range(30))
+                for i in range(n_docs)
+            ],
+        }
+    )
+
+
+def _cms_build(docs, nparts: int = 4, batches: int = 1):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import cms_sketch_tokens
+
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    if batches > 1:
+        ds = ds.repartition(batches)
+    return cms_sketch_tokens(ds, nparts=nparts)
+
+
+def _cms_truth(docs) -> dict:
+    import collections
+    import re
+
+    counts: collections.Counter = collections.Counter()
+    for t in docs["text"]:
+        counts.update(re.findall(r"[a-z0-9]+", t.lower()))
+    return dict(counts)
+
+
+def test_cms_register_sql_parity(ray_session):
+    import duckdb
+
+    from kazu_ray.extras.sketches import CMS_W, cms_oracle_sql
+
+    docs = _cms_corpus(60, vocab=40)
+    regs = _cms_build(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(cms_oracle_sql()).df()
+    got = {
+        int(d) * CMS_W + int(c): int(regs[d, c]) for d, c in zip(*regs.nonzero())
+    }
+    assert got == dict(zip(exp["cell"].astype(int), exp["cnt"].astype(int)))
+
+
+def test_cms_lower_bound_and_exact_when_sparse(ray_session):
+    from kazu_ray.extras.sketches import cms_estimate
+
+    docs = _cms_corpus(80, vocab=50)
+    regs = _cms_build(docs)
+    truth = _cms_truth(docs)
+    # structural guarantee: never undercounts; at vocab 50 << W the min
+    # over CMS_D rows is exact for every token
+    for tok, n in truth.items():
+        est = cms_estimate(regs, tok)
+        assert est >= n
+        assert est == n
+
+
+def test_cms_partition_and_batch_invariance(ray_session):
+    docs = _cms_corpus(100, vocab=64)
+    a = _cms_build(docs, nparts=2, batches=1)
+    b = _cms_build(docs, nparts=7, batches=13)
+    assert (a == b).all()
+
+
+def test_cms_overcount_bounded_large_vocab(ray_session):
+    import math
+
+    from kazu_ray.extras.sketches import CMS_W, cms_estimate
+
+    # vocab 3000 ~ 3x the width: collisions are certain per row, but the
+    # min over rows keeps the overcount within the eps*N envelope
+    docs = _cms_corpus(200, vocab=3000)
+    regs = _cms_build(docs)
+    truth = _cms_truth(docs)
+    n_total = sum(truth.values())
+    eps = math.e / CMS_W
+    over = [cms_estimate(regs, t) - n for t, n in truth.items()]
+    assert min(over) >= 0  # one-sided
+    assert max(over) <= eps * n_total * 3  # loose multiple of the w.h.p. bound
