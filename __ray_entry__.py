@@ -219,7 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.kgembed import q_kg_embeddings
     from kazu_ray.extras.kn_lm import q_kn_perplexity
     from kazu_ray.extras.chunk_dedup import q_chunk_dedup
-    from kazu_ray.extras.sketches import q_cms_registers
+    from kazu_ray.extras.sketches import q_cms_registers, q_hll_group_distinct
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -393,6 +393,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-exact register SQL parity + point-query bounds are the
         # cms_* rows of approx_metrics.
         "cms_registers": q_cms_registers,
+        # Groupwise HLL: distinct-token estimate per source (one
+        # streaming pass + a hash(key)-partitioned register MAX-merge,
+        # <= groups x 256 one-byte registers of cluster-wide state);
+        # per-group register SQL parity + error envelope are the
+        # hll_group_* rows of approx_metrics.
+        "hll_group_distinct": q_hll_group_distinct,
     }
 
 

@@ -633,6 +633,59 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_hll_group_gate(sf_dir: str) -> pd.DataFrame:
+    """Groupwise HLL contract on per-source distinct tokens: per-group
+    register rows BIT-EXACT vs DuckDB replaying the sketch, and every
+    group's estimate within the p=8 error envelope of the exact
+    per-group COUNT(DISTINCT)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from .sketches import (
+        hll_group_distinct_tokens,
+        hll_group_estimates,
+        hll_group_oracle_sql,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    reg_rows = (
+        hll_group_distinct_tokens(ds)
+        .to_pandas()
+        .sort_values(["source", "register"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(hll_group_oracle_sql()).df()
+    registers_equal = len(reg_rows) == len(exp) and bool(
+        (reg_rows["source"].values == exp["source"].values).all()
+        and (reg_rows["register"].values == exp["register"].astype("int64").values).all()
+        and (reg_rows["rho"].values == exp["rho"].astype("int64").values).all()
+    )
+    est = hll_group_estimates(reg_rows).set_index("source")["estimate"]
+    true = (
+        con.execute(
+            "SELECT source, COUNT(DISTINCT tok) AS n FROM (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+            "FROM documents) GROUP BY source"
+        )
+        .df()
+        .set_index("source")["n"]
+    )
+    rel_err = float(((est - true).abs() / true).max())
+    return pd.DataFrame(
+        {
+            "registers_equal": [registers_equal],
+            "max_rel_err": [rel_err],
+            "n_groups": [len(true)],
+        }
+    )
+
+
 def q_cms_gate(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch contract on the documents token stream:
     register-level BIT-EXACT parity vs DuckDB replaying the sketch
@@ -1063,6 +1116,14 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         0.99,
         bool(m["lower_bound_ok"]) and m["exact_frac"] >= 0.99,
     )
+    m = q_hll_group_gate(sf_dir).iloc[0]
+    add(
+        "hll_group_register_parity",
+        1.0 if m["registers_equal"] else 0.0,
+        1.0,
+        m["registers_equal"],
+    )
+    add("hll_group_max_rel_err", m["max_rel_err"], 0.15, m["max_rel_err"] <= 0.15)
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

@@ -531,3 +531,153 @@ def q_cms_registers(sf_dir: str):
             "cnt": regs[d_idx, col_idx].astype("int64"),
         }
     ).sort_values("cell", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Groupwise HyperLogLog — distinct-count per group key ("distinct tokens
+# per source", "distinct users per domain") as ONE streaming pass + one
+# bounded register exchange, the per-group generalization of
+# hll_distinct_tokens above.  Registers use a smaller precision
+# (HLL_GROUP_P) than the single-sketch path because per-group state is
+# groups x m: at p=8 each group carries <= 256 one-byte registers
+# (~1.04/sqrt(256) = 6.5% standard error), so a million group keys cost
+# ~256 MB of register rows TOTAL across the cluster — driver only ever
+# sees per-group estimates, and the exchange is keyed on hash(key) so
+# every group's registers merge in exactly one partition.
+
+HLL_GROUP_P = 8
+HLL_GROUP_M = 1 << HLL_GROUP_P
+_HLL_GROUP_SUFFIX_BITS = 64 - HLL_GROUP_P
+_HLL_GROUP_SUFFIX_MASK = (1 << _HLL_GROUP_SUFFIX_BITS) - 1
+
+
+def _hll_group_rho(h: int) -> tuple[int, int]:
+    suffix = h & _HLL_GROUP_SUFFIX_MASK
+    rho = (
+        (_HLL_GROUP_SUFFIX_BITS + 1) - suffix.bit_length()
+        if suffix
+        else _HLL_GROUP_SUFFIX_BITS + 1
+    )
+    return h >> _HLL_GROUP_SUFFIX_BITS, rho
+
+
+def hll_group_distinct_tokens(ds, key: str = "source", text: str = "text",
+                              nparts: int = 8):
+    """(key, register, rho) merged register rows for the distinct
+    ``[a-z0-9]+`` token count PER GROUP KEY.  Per batch: vectorized
+    distinct (key, token) pairs, one md5 per pair, per-batch MAX fold
+    (<= groups x m rows leave a batch); merge = MAX under a coarse
+    hash(key) exchange, so each group's registers land whole in one
+    partition.  Returns the register table (not materialized per-group
+    arrays) so callers can stream estimates."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+        import zlib
+
+        import polars as pl
+
+        pairs = (
+            pl.from_arrow(t.select([key, text]))
+            .with_columns(
+                tok=pl.col(text).str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+            )
+            .drop(text)
+            .explode("tok")
+            .drop_nulls()
+            .unique()
+        )
+        regs: dict[tuple[str, int], int] = {}
+        for k_, tok in zip(pairs[key], pairs["tok"]):
+            idx, rho = _hll_group_rho(
+                int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            )
+            cur = regs.get((k_, idx), 0)
+            if rho > cur:
+                regs[(k_, idx)] = rho
+        keys = list(regs)
+        return pa.table(
+            {
+                key: pa.array([k_ for k_, _ in keys], type=pa.string()),
+                "register": pa.array([i for _, i in keys], type=pa.int64()),
+                "rho": pa.array([regs[kk] for kk in keys], type=pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(k_.encode()) % nparts for k_, _ in keys],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def merge_part(g) -> "object":
+        return (
+            g.groupby([key, "register"], sort=False, as_index=False)["rho"].max()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
+    )
+
+
+def hll_group_estimates(register_rows, key: str = "source"):
+    """Register rows -> per-group (key, estimate, nonzero_registers),
+    computed groupwise with the standard estimator + linear counting."""
+    import pandas as pd
+
+    if hasattr(register_rows, "to_pandas"):
+        df = register_rows.to_pandas()
+    else:
+        df = register_rows
+    out = []
+    for k_, grp in df.groupby(key, sort=True):
+        regs = np.zeros(HLL_GROUP_M, dtype=np.uint8)
+        regs[grp["register"].to_numpy()] = grp["rho"].to_numpy()
+        out.append(
+            {
+                key: k_,
+                "estimate": round(hll_estimate(regs), 4),
+                "nonzero_registers": int((regs > 0).sum()),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def hll_group_oracle_sql(key: str = "source", text_expr: str = "lower(text)",
+                         table: str = "documents") -> str:
+    """The per-group register table as one DuckDB query — same md5,
+    same top-p-bit split, same rank, MAX per (key, register)."""
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {key} AS k,
+         unnest(regexp_extract_all({text_expr}, '[a-z0-9]+')) AS tok
+  FROM {table}
+),
+h AS (
+  SELECT k, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+  FROM toks
+),
+rr AS (
+  SELECT k, CAST(hv >> {_HLL_GROUP_SUFFIX_BITS} AS BIGINT) AS register,
+         CASE WHEN (hv & ((1::UBIGINT << {_HLL_GROUP_SUFFIX_BITS}) - 1)) = 0
+              THEN {_HLL_GROUP_SUFFIX_BITS + 1}
+              ELSE {_HLL_GROUP_SUFFIX_BITS + 1}
+                   - length(bin(hv & ((1::UBIGINT << {_HLL_GROUP_SUFFIX_BITS}) - 1)))
+         END AS rho
+  FROM h
+)
+SELECT k AS {key}, register, max(rho) AS rho
+FROM rr GROUP BY k, register ORDER BY {key}, register
+"""
+
+
+def q_hll_group_distinct(sf_dir: str):
+    """Query surface: per-source distinct-token HLL estimates over the
+    documents corpus; per-group register SQL parity + error envelope
+    are the hll_group_* rows of approx_metrics."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return hll_group_estimates(hll_group_distinct_tokens(ds))

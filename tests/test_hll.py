@@ -73,3 +73,103 @@ def test_rho_matches_reference_bit_math():
     assert (idx, rho) == (1, 53)
     idx, rho = _hll_rho((1 << 52) - 1)
     assert (idx, rho) == (0, 1)
+
+
+# --- groupwise HLL ---------------------------------------------------------
+
+
+def _group_docs(n_groups: int, docs_per_group: int, vocab_per_group: int):
+    import pandas as pd
+
+    rows = []
+    for g in range(n_groups):
+        for d in range(docs_per_group):
+            toks = [
+                f"g{g}tok{(d * 17 + j) % vocab_per_group}" for j in range(40)
+            ]
+            rows.append({"source": f"grp{g}", "text": " ".join(toks)})
+    return pd.DataFrame(rows)
+
+
+def test_hll_group_register_sql_parity(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import (
+        hll_group_distinct_tokens,
+        hll_group_oracle_sql,
+    )
+
+    docs = _group_docs(6, 10, 50)
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(5)
+    got = (
+        hll_group_distinct_tokens(ds, nparts=3)
+        .to_pandas()
+        .sort_values(["source", "register"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(hll_group_oracle_sql()).df()
+    assert len(got) == len(exp)
+    assert (got["source"].values == exp["source"].values).all()
+    assert (got["register"].values == exp["register"].astype("int64").values).all()
+    assert (got["rho"].values == exp["rho"].astype("int64").values).all()
+
+
+def test_hll_group_estimates_in_envelope(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import (
+        hll_group_distinct_tokens,
+        hll_group_estimates,
+    )
+
+    # distinct vocab differs strongly per group: 20, 120, 220, ...
+    import pandas as pd
+
+    rows = []
+    truth = {}
+    for g in range(5):
+        vocab = 20 + 100 * g
+        truth[f"grp{g}"] = vocab
+        toks = [f"g{g}tok{j}" for j in range(vocab)]
+        for d in range(8):
+            rows.append(
+                {"source": f"grp{g}", "text": " ".join(toks[d::8] + toks[:5])}
+            )
+    docs = pd.DataFrame(rows)
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(7)
+    est = hll_group_estimates(hll_group_distinct_tokens(ds, nparts=4))
+    assert len(est) == 5
+    for _, r in est.iterrows():
+        true = truth[r["source"]]
+        assert abs(r["estimate"] - true) / true <= 0.25  # p=8 3-sigma + slack
+
+
+def test_hll_group_partition_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import hll_group_distinct_tokens
+
+    docs = _group_docs(4, 12, 80)
+
+    def run(nblocks, nparts):
+        ds = rd.from_arrow(
+            pa.Table.from_pandas(docs, preserve_index=False)
+        ).repartition(nblocks)
+        return (
+            hll_group_distinct_tokens(ds, nparts=nparts)
+            .to_pandas()
+            .sort_values(["source", "register"])
+            .reset_index(drop=True)
+        )
+
+    a = run(2, 2)
+    b = run(11, 7)
+    assert a.drop(columns=["part"], errors="ignore").equals(
+        b.drop(columns=["part"], errors="ignore")
+    )
