@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_ann_topk,
         q_ivf_topk,
         q_label_centroids,
+        q_pq_topk,
     )
     from kazu_ray.extras.sketches import q_price_quantiles
     from kazu_ray.extras.pii import q_pii_scan
@@ -399,6 +400,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group register SQL parity + error envelope are the
         # hll_group_* rows of approx_metrics.
         "hll_group_distinct": q_hll_group_distinct,
+        # Product-quantization ANN (Jegou et al. 2011): 8-bit per-
+        # subspace codes (32x compression), broadcast codebooks, ADC
+        # lookup-table shortlist + exact re-rank on the bounded
+        # shortlist; recall vs the exact oracle + distributed-vs-
+        # reference path equivalence are the pq_* rows of
+        # approx_metrics.
+        "pq_topk": q_pq_topk,
     }
 
 

@@ -633,6 +633,73 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_pq_gate(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN contract: recall@k of the PQ-ADC
+    shortlist + exact re-rank path against the exact ANN oracle, and
+    path equivalence of the distributed encode+search vs a single-
+    process numpy reference replaying the identical pipeline."""
+    import numpy as np
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .similarity import (
+        PQ_M,
+        PQ_SHORTLIST_FACTOR,
+        _batch_matrix,
+        _pq_sample,
+        pq_encode_matrix,
+        pq_train_codebooks,
+        q_ann_topk,
+        q_pq_topk,
+    )
+
+    got = q_pq_topk(sf_dir).to_pandas()
+    exact = q_ann_topk(sf_dir).to_pandas()
+    recs = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        p = set(got[got["query_id"] == qid]["vec_id"])
+        recs.append(len(e & p) / len(e))
+    recall = float(np.mean(recs))
+
+    # single-process reference: same sample, same codebooks, same ADC
+    # shortlist + exact re-rank, pure numpy
+    k = 5
+    tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, mat = _batch_matrix(tbl)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    books = pq_train_codebooks(_pq_sample(sf_dir))
+    codes = pq_encode_matrix(mat, books)
+    q_sel = ids < 10
+    q_ids, q_mat = ids[q_sel], mat[q_sel]
+    dsub = mat.shape[1] // PQ_M
+    lut = np.einsum("qmd,mcd->qmc", q_mat.reshape(len(q_mat), PQ_M, dsub), books)
+    scores = lut[:, np.arange(PQ_M)[None, :], codes].sum(axis=2)
+    rows = []
+    shortlist_n = PQ_SHORTLIST_FACTOR * k
+    for row, qid in enumerate(q_ids):
+        s = scores[row].copy()
+        s[ids == qid] = -np.inf
+        sl = np.argsort(-s, kind="stable")[:shortlist_n]
+        cos = mat[sl] @ q_mat[row]
+        top = sl[np.lexsort((ids[sl], -cos))][:k]
+        for v in top:
+            rows.append((int(qid), int(ids[v]), round(float(mat[v] @ q_mat[row]), 4)))
+    ref = pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+    g = got.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    r = ref.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    paths_equal = len(g) == len(r) and bool(
+        (g["query_id"].values == r["query_id"].values).all()
+        and (g["vec_id"].values == r["vec_id"].values).all()
+        and np.allclose(g["cosine"].values, r["cosine"].values, atol=1e-9)
+    )
+    return pd.DataFrame(
+        {"recall": [recall], "paths_equal": [paths_equal], "gate": [0.9]}
+    )
+
+
 def q_hll_group_gate(sf_dir: str) -> pd.DataFrame:
     """Groupwise HLL contract on per-source distinct tokens: per-group
     register rows BIT-EXACT vs DuckDB replaying the sketch, and every
@@ -1124,6 +1191,9 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         m["registers_equal"],
     )
     add("hll_group_max_rel_err", m["max_rel_err"], 0.15, m["max_rel_err"] <= 0.15)
+    m = q_pq_gate(sf_dir).iloc[0]
+    add("pq_recall", m["recall"], m["gate"], m["recall"] >= m["gate"])
+    add("pq_path_equal", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

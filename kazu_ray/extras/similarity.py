@@ -501,3 +501,220 @@ def label_centroids_oracle_sql(dim: int = 64) -> str:
         FROM embeddings e CROSS JOIN dims d
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (Jegou, Douze & Schmid 2011) — the memory-
+# scale path for embedding search: vectors compress to PQ_M uint8 codes
+# (32x for 64-dim float32 at PQ_M=8), so a 100-TB embedding corpus's
+# code table fits in a fraction of the object store and every batch
+# scores candidates via table lookups instead of full matmuls.
+#
+# Pipeline (sample -> codebooks -> encode -> ADC shortlist -> exact
+# re-rank), each stage the repo's standard shape:
+#   * codebooks: per-subspace Lloyd k-means on a bounded deterministic
+#     sample, driver-side by design (same contract as the IVF coarse
+#     centroids above) — PQ_M x PQ_KS x dsub floats, broadcast via
+#     ray.put;
+#   * encode: one map_batches pass, argmin over PQ_KS sub-centroids per
+#     subspace, fully vectorized; emits (vec_id, PQ_M uint8 codes);
+#   * ADC search: per query a (PQ_M, PQ_KS) inner-product lookup table;
+#     per batch approx score = sum of LUT cells selected by the code
+#     matrix (one fancy-index + sum, no per-row python); partial
+#     shortlist per batch, bounded merge;
+#   * re-rank: broadcast the shortlisted id set, one filtered pass over
+#     the ORIGINAAL vectors computes exact cosines only for shortlist
+#     members (shortlist_factor x k x n_queries rows — bounded), so the
+#     returned top-k carries TRUE cosines and recall is pinned against
+#     the exact ANN oracle.
+
+PQ_M = 8          # subspaces
+PQ_KS = 256       # sub-centroids per subspace (8-bit codes)
+PQ_TRAIN_CAP = 8192
+PQ_SHORTLIST_FACTOR = 10
+
+
+def pq_train_codebooks(sample: np.ndarray, iters: int = 10,
+                       seed: int = 23) -> np.ndarray:
+    """(PQ_M, PQ_KS, dsub) codebooks via per-subspace Lloyd k-means on
+    the (bounded) sample — plain L2 Lloyd, deterministic seeding."""
+    n, dim = sample.shape
+    dsub = dim // PQ_M
+    rng = np.random.default_rng(seed)
+    books = np.zeros((PQ_M, PQ_KS, dsub))
+    for m in range(PQ_M):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        cent = sub[rng.choice(n, size=min(PQ_KS, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[m, : len(cent)] = cent
+    return books
+
+
+def pq_encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) L2-normalized matrix -> (n, PQ_M) uint8 code matrix."""
+    n, dim = mat.shape
+    dsub = dim // PQ_M
+    codes = np.zeros((n, PQ_M), dtype=np.uint8)
+    for m in range(PQ_M):
+        sub = mat[:, m * dsub : (m + 1) * dsub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+        d2 = (sub**2).sum(1, keepdims=True) - 2 * sub @ books[m].T + (
+            books[m] ** 2
+        ).sum(1)
+        codes[:, m] = d2.argmin(axis=1)
+    return codes
+
+
+def _pq_sample(sf_dir: str) -> np.ndarray:
+    """Bounded deterministic training sample (vec_id-ordered prefix of
+    the id space — at corpus scale a salted-hash Bernoulli sample, same
+    contract as extras/sampling.py; the cap is what matters)."""
+    import ray.data as rd
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {PQ_TRAIN_CAP}")
+    )
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    _, mat = _batch_matrix(tbl)
+    return mat
+
+
+def pq_encode_corpus(sf_dir: str, books: np.ndarray):
+    """One streaming pass: (vec_id, code_0..code_{PQ_M-1}) uint8 columns
+    (flat columns, not a nested list, so downstream fancy-indexing reads
+    the Arrow buffers zero-copy)."""
+    import ray
+    import ray.data as rd
+
+    books_ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        bks = ray.get(books_ref)
+        ids, mat = _batch_matrix(t)
+        codes = pq_encode_matrix(mat, bks)
+        cols = {"vec_id": pa.array(ids, type=pa.int64())}
+        for m in range(PQ_M):
+            cols[f"code_{m}"] = pa.array(codes[:, m], type=pa.uint8())
+        return pa.table(cols)
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(encode, batch_format="pyarrow")
+
+
+def q_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """PQ-ADC shortlist + exact re-rank top-k for the first n_queries
+    vectors; same output schema as q_ann_topk (query_id, vec_id,
+    cosine with TRUE rounded cosines), so recall pins directly against
+    the exact oracle — the pq_recall row of approx_metrics."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = _query_vectors(sf_dir, n_queries)
+    books = pq_train_codebooks(_pq_sample(sf_dir))
+    codes_ds = pq_encode_corpus(sf_dir, books)
+
+    # per-query ADC lookup tables: LUT[q, m, c] = <q_sub, codebook cell>
+    dsub = q_mat.shape[1] // PQ_M
+    lut = np.einsum(
+        "qmd,mcd->qmc", q_mat.reshape(len(q_mat), PQ_M, dsub), books
+    )
+    lut_ref = ray.put((q_ids, lut))
+    shortlist_n = PQ_SHORTLIST_FACTOR * k
+
+    def adc_partial(t: pa.Table) -> pa.Table:
+        qi, lt = ray.get(lut_ref)
+        ids = t.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        codes = np.stack(
+            [
+                t.column(f"code_{m}").combine_chunks().to_numpy(zero_copy_only=False)
+                for m in range(PQ_M)
+            ],
+            axis=1,
+        )  # (nc, PQ_M)
+        # approx score (nq, nc): sum over subspaces of LUT cells
+        scores = lt[:, np.arange(PQ_M)[None, :], codes].sum(axis=2)
+        out_q, out_v, out_s = [], [], []
+        for row in range(len(qi)):
+            s = scores[row]
+            take = min(shortlist_n + 1, len(s))
+            idxs = np.argpartition(-s, take - 1)[:take]
+            keep = ids[idxs] != qi[row]
+            out_q.append(np.full(keep.sum(), qi[row], dtype=np.int64))
+            out_v.append(ids[idxs][keep])
+            out_s.append(s[idxs][keep])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "approx": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    shortlist = (
+        codes_ds.map_batches(adc_partial, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+        .sort_values(["query_id", "approx", "vec_id"], ascending=[True, False, True])
+        .drop_duplicates(["query_id", "vec_id"])
+        .groupby("query_id", as_index=False)
+        .head(shortlist_n)
+    )
+    # exact re-rank: one filtered pass over the original vectors for
+    # shortlist members only (bounded: n_queries x shortlist_n ids)
+    member_ids = np.sort(shortlist["vec_id"].unique())
+    members_ref = ray.put(member_ids)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        mids = ray.get(members_ref)
+        qi, qm = ray.get(q_ref)
+        ids, mat = _batch_matrix(t)
+        sel = np.isin(ids, mids)
+        if not sel.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    **{
+                        f"cos_{row}": pa.array([], type=pa.float64())
+                        for row in range(len(qi))
+                    },
+                }
+            )
+        ids, mat = ids[sel], mat[sel]
+        sims = qm @ mat.T  # (nq, nm)
+        cols = {"vec_id": pa.array(ids, type=pa.int64())}
+        for row in range(len(qi)):
+            cols[f"cos_{row}"] = pa.array(sims[row], type=pa.float64())
+        return pa.table(cols)
+
+    exact = pa.concat_tables(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None),
+        promote_options="default",
+    )
+    import pandas as pd
+
+    ex = exact.to_pandas().set_index("vec_id")
+    rows = []
+    for row, qid in enumerate(q_ids):
+        sl = shortlist[shortlist["query_id"] == qid]
+        cos = ex.loc[sl["vec_id"], f"cos_{row}"].to_numpy()
+        df = pd.DataFrame(
+            {"query_id": qid, "vec_id": sl["vec_id"].to_numpy(), "cosine": cos}
+        ).sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        rows.append(df)
+    out = pd.concat(rows, ignore_index=True)
+    from ..functions.rounding import round_half_away
+
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(), 4)
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)
