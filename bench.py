@@ -149,7 +149,10 @@ def run_bench() -> dict:
                  "quality_signals", "quality_filter", "dup_passages",
                  "decontaminate", "range_join", "events_sliding",
                  "json_props", "bpe_token_count", "pii_scan",
-                 "label_centroids"):
+                 "label_centroids",
+                 # round-4 addition: C4-style global keep-first chunk
+                 # dedup (two byte-scaled exchanges over the corpus)
+                 "chunk_dedup"):
         try:
             queries[name] = _timed_min(lambda n=name: q[n](SF_DIR).count())
         except Exception as exc:  # record, don't die
