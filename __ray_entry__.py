@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.kgembed import q_kg_embeddings
     from kazu_ray.extras.kn_lm import q_kn_perplexity
     from kazu_ray.extras.chunk_dedup import q_chunk_dedup
+    from kazu_ray.extras.sampling import q_weighted_sample as _q_weighted_sample
     from kazu_ray.extras.sketches import q_cms_registers, q_hll_group_distinct
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
@@ -407,6 +408,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference path equivalence are the pq_* rows of
         # approx_metrics.
         "pq_topk": q_pq_topk,
+        # Efraimidis-Spirakis A-ES weighted sampling without
+        # replacement (deterministic md5 uniforms, zero shuffle:
+        # per-block partial top-n + bounded merge); selected-set SQL
+        # parity is the wsample_parity row of approx_metrics.
+        "weighted_sample": _q_weighted_sample,
     }
 
 

@@ -633,6 +633,26 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_wsample_parity(sf_dir: str) -> pd.DataFrame:
+    """A-ES weighted-sample parity: the distributed per-block partial
+    top-n + bounded merge selects the IDENTICAL id set as DuckDB
+    replaying the score (same md5-LE64 uniform, same u^(1/w) order)."""
+    import duckdb
+
+    from .sampling import q_weighted_sample, weighted_sample_oracle_sql
+
+    n = 500
+    got = q_weighted_sample(sf_dir, n=n).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(weighted_sample_oracle_sql(n)).df()
+    equal = set(got["doc_id"]) == set(exp["doc_id"]) and len(got) == len(exp)
+    return pd.DataFrame({"paths_equal": [bool(equal)], "n": [len(got)]})
+
+
 def q_pq_gate(sf_dir: str) -> pd.DataFrame:
     """Product-quantization ANN contract: recall@k of the PQ-ADC
     shortlist + exact re-rank path against the exact ANN oracle, and
@@ -1194,6 +1214,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     m = q_pq_gate(sf_dir).iloc[0]
     add("pq_recall", m["recall"], m["gate"], m["recall"] >= m["gate"])
     add("pq_path_equal", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_wsample_parity(sf_dir).iloc[0]
+    add("wsample_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

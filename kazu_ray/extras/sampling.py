@@ -160,3 +160,95 @@ def stratified_sample_k(
         .groupby(stratum_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def weighted_sample_n(
+    ds,
+    n: int,
+    weight_col: str,
+    key: str = "doc_id",
+    salt: str = "wsample-v1",
+):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws the deterministic
+    uniform u = hash(salt, key)/2^64 and scores A-ES key u^(1/w); the n
+    largest scores win, which realizes exactly the successive
+    weighted-without-replacement draw.  Zero shuffle: per-batch partial
+    top-n (every block reduces to <= n rows before anything leaves it),
+    then a blocks-bounded merge — the same discipline as
+    stratified_sample_k, with the uniform draw replaced by the weighted
+    score.
+
+    Weights must be positive; rows with weight <= 0 never win.  The
+    score is replayable verbatim in DuckDB SQL
+    (``pow(md5_number_upper(...)/2^64, 1.0/weight)``), so selection is
+    cross-engine checkable — the wsample_parity row of approx_metrics
+    compares the SELECTED ID SET, which is robust to last-ulp libm
+    differences between engines (a flip would need two 64-bit-derived
+    scores within one ulp of the cutoff).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = _u01(t.column(key).to_pylist(), salt)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.where(w > 0, u ** np.where(w > 0, 1.0 / np.maximum(w, 1e-300), 1.0), -1.0)
+        df = t.to_pandas()
+        df["_score"] = score
+        df = df.sort_values(["_score", key], ascending=[False, True]).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["_score", key], ascending=[False, True])
+            .head(n)
+            .drop(columns=["_score"])
+        )
+
+    # single merge group: the partial set is <= n x n_blocks rows by
+    # construction (tiny), so one map_groups over a constant key is a
+    # bounded reduce, not a shuffle
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def add_const(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    return (
+        partials.map_batches(add_const, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(lambda g: merge(g).drop(columns=["_g"]), batch_format="pandas")
+    )
+
+
+def weighted_sample_oracle_sql(
+    n: int,
+    weight_col: str = "n_chars",
+    key: str = "doc_id",
+    salt: str = "wsample-v1",
+    table: str = "documents",
+) -> str:
+    """The A-ES selection as one DuckDB query (same md5-LE64 uniform,
+    same u^(1/w) score, same (score desc, key) tie order)."""
+    return f"""
+        SELECT {key}, {weight_col}
+        FROM {table}
+        WHERE {weight_col} > 0
+        ORDER BY pow(
+            md5_number_upper(concat('{salt}:', CAST({key} AS VARCHAR))) / 18446744073709551616.0,
+            1.0 / {weight_col}
+        ) DESC, {key} ASC
+        LIMIT {n}
+    """
+
+
+def q_weighted_sample(sf_dir: str, n: int = 500):
+    """Query surface: length-weighted document sample (weight =
+    n_chars) — longer documents proportionally likelier, the standard
+    data-mixing draw.  Selected-set SQL parity is the wsample_parity
+    row of approx_metrics."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample_n(ds, n=n, weight_col="n_chars").sort("doc_id")

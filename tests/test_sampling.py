@@ -191,3 +191,79 @@ def test_epoch_mix_partition_invariance(ray_session):
         ).take_all()
     )
     assert a == b
+
+
+# --- A-ES weighted sampling ------------------------------------------------
+
+
+def test_weighted_sample_sql_parity_and_invariance(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sampling import (
+        weighted_sample_n,
+        weighted_sample_oracle_sql,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "n_chars": [10 + (i * 37) % 500 for i in range(1000)],
+        }
+    )
+
+    def run(nblocks):
+        ds = rd.from_arrow(
+            pa.Table.from_pandas(docs, preserve_index=False)
+        ).repartition(nblocks)
+        return (
+            weighted_sample_n(ds, n=120, weight_col="n_chars")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a = run(2)
+    b = run(17)
+    assert a.equals(b)  # partition-invariant selection
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(weighted_sample_oracle_sql(120)).df()
+    assert set(a["doc_id"]) == set(exp["doc_id"])
+
+
+def test_weighted_sample_bias_and_zero_weights(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sampling import weighted_sample_n
+
+    # half the corpus has 20x the weight; zero-weight rows never win
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "w": [0 if i % 10 == 9 else (200 if i % 2 else 10) for i in range(2000)],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(5)
+    got = weighted_sample_n(ds, n=300, weight_col="w").to_pandas()
+    assert len(got) == 300
+    assert (got["w"] > 0).all()
+    heavy_frac = (got["w"] == 200).mean()
+    assert heavy_frac > 0.8  # 20x weight dominates the draw
+
+
+def test_weighted_sample_n_larger_than_corpus(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sampling import weighted_sample_n
+
+    docs = pd.DataFrame({"doc_id": range(7), "w": [1] * 7})
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    got = weighted_sample_n(ds, n=50, weight_col="w").to_pandas()
+    assert sorted(got["doc_id"]) == list(range(7))
