@@ -221,7 +221,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.kn_lm import q_kn_perplexity
     from kazu_ray.extras.chunk_dedup import q_chunk_dedup
     from kazu_ray.extras.sampling import q_weighted_sample as _q_weighted_sample
-    from kazu_ray.extras.sketches import q_cms_registers, q_hll_group_distinct
+    from kazu_ray.extras.sketches import (
+        q_cms_registers,
+        q_group_quantiles,
+        q_hll_group_distinct,
+    )
     from kazu_ray.extras.text_analysis import (
         q_bpe_token_count,
         q_doc_fingerprint,
@@ -413,6 +417,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-block partial top-n + bounded merge); selected-set SQL
         # parity is the wsample_parity row of approx_metrics.
         "weighted_sample": _q_weighted_sample,
+        # groupwise quantile sketch (per-group p50/p90/p99; centroid
+        # rows bounded by k per group, group-keyed exchange); per-group
+        # accuracy vs exact is the group_quantile_max_rel_err row of
+        # approx_metrics.
+        "group_quantiles": q_group_quantiles,
     }
 
 

@@ -633,6 +633,33 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_group_quantile_gate(sf_dir: str) -> pd.DataFrame:
+    """Groupwise quantile-sketch accuracy: every (group, q) estimate
+    within 1% of the exact per-group quantile (numpy linear
+    interpolation, same convention as the global quantile gate)."""
+    import numpy as np
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .sketches import q_group_quantiles
+
+    got = q_group_quantiles(sf_dir)
+    tbl = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    max_rel = 0.0
+    for (k_, q), grp in got.groupby(["o_orderpriority", "q"]):
+        exact = float(
+            np.quantile(
+                tbl[tbl["o_orderpriority"] == k_]["o_totalprice"].to_numpy(), q
+            )
+        )
+        est = float(grp["value"].iloc[0])
+        max_rel = max(max_rel, abs(est - exact) / abs(exact))
+    return pd.DataFrame(
+        {"max_rel_err": [max_rel], "n_groups": [got["o_orderpriority"].nunique()]}
+    )
+
+
 def q_wsample_parity(sf_dir: str) -> pd.DataFrame:
     """A-ES weighted-sample parity: the distributed per-block partial
     top-n + bounded merge selects the IDENTICAL id set as DuckDB
@@ -1216,6 +1243,13 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("pq_path_equal", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_wsample_parity(sf_dir).iloc[0]
     add("wsample_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_group_quantile_gate(sf_dir).iloc[0]
+    add(
+        "group_quantile_max_rel_err",
+        m["max_rel_err"],
+        0.01,
+        m["max_rel_err"] <= 0.01,
+    )
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

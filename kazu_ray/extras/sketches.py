@@ -681,3 +681,95 @@ def q_hll_group_distinct(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
     return hll_group_estimates(hll_group_distinct_tokens(ds))
+
+
+# ---------------------------------------------------------------------------
+# Groupwise quantile sketch — per-group percentiles ("p99 per
+# endpoint", "length distribution per source") as one streaming pass +
+# one group-keyed exchange of CENTROID rows.  Per batch each group
+# compresses to <= k (value, weight) centroids before anything leaves
+# the block, the crc32(key) exchange lands every group's centroids
+# whole in one partition, and final quantiles are read off inside that
+# partition — per-group state is bounded by k rows regardless of group
+# size, and the driver only ever sees (key, q, value) result rows.
+
+
+def group_quantile_sketch(
+    ds,
+    key: str,
+    column: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    k: int = DEFAULT_K,
+    nparts: int = 16,
+):
+    """Dataset -> (key, q, value) per-group approximate quantiles."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+        import zlib
+
+        df = pl.from_arrow(t.select([key, column]))
+        keys_out, vals_out, wts_out = [], [], []
+        for (k_,), grp in df.group_by(key):
+            v, w = compress(
+                grp[column].to_numpy().astype(np.float64), k=k
+            )
+            keys_out.extend([k_] * len(v))
+            vals_out.append(v)
+            wts_out.append(w)
+        if not keys_out:
+            return pa.table(
+                {
+                    key: pa.array([], type=t.schema.field(key).type),
+                    "value": pa.array([], type=pa.float64()),
+                    "weight": pa.array([], type=pa.float64()),
+                    "part": pa.array([], type=pa.int64()),
+                }
+            )
+        keys_arr = pa.array(keys_out)
+        parts = [zlib.crc32(str(x).encode()) % nparts for x in keys_out]
+        return pa.table(
+            {
+                key: keys_arr,
+                "value": pa.array(np.concatenate(vals_out), type=pa.float64()),
+                "weight": pa.array(np.concatenate(wts_out), type=pa.float64()),
+                "part": pa.array(parts, type=pa.int64()),
+            }
+        )
+
+    def finalize_part(g) -> "object":
+        import pandas as pd
+
+        out = []
+        for k_, grp in g.groupby(key, sort=True):
+            v, w = compress(
+                grp["value"].to_numpy(), grp["weight"].to_numpy(), k=k
+            )
+            est = quantiles(v, w, list(qs))
+            for q, val in zip(qs, est):
+                out.append((k_, float(q), float(val)))
+        return pd.DataFrame(out, columns=[key, "q", "value"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finalize_part, batch_format="pandas")
+    )
+
+
+def q_group_quantiles(sf_dir: str):
+    """Query surface: p50/p90/p99 of order totalprice PER ORDER
+    PRIORITY; per-group accuracy vs the exact quantiles is the
+    group_quantile_max_rel_err row of approx_metrics."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    out = (
+        group_quantile_sketch(ds, "o_orderpriority", "o_totalprice")
+        .to_pandas()
+        .sort_values(["o_orderpriority", "q"], ignore_index=True)
+    )
+    out["value"] = out["value"].round(2)
+    return out

@@ -192,3 +192,51 @@ def test_cms_overcount_bounded_large_vocab(ray_session):
     over = [cms_estimate(regs, t) - n for t, n in truth.items()]
     assert min(over) >= 0  # one-sided
     assert max(over) <= eps * n_total * 3  # loose multiple of the w.h.p. bound
+
+
+# --- groupwise quantile sketch ---------------------------------------------
+
+
+def test_group_quantiles_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import group_quantile_sketch
+
+    rng_vals = []
+    rows = []
+    for g in range(4):
+        # heavy-tailed, different scale per group
+        vals = [((i * 2654435761) % 10_000) ** (1 + 0.2 * g) / 100 for i in range(3000)]
+        rng_vals.append(("grp%d" % g, np.array(vals, dtype=float)))
+        rows.extend({"k": f"grp{g}", "x": v} for v in vals)
+    docs = pd.DataFrame(rows)
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(9)
+    got = group_quantile_sketch(ds, "k", "x").to_pandas()
+    assert set(got["k"]) == {f"grp{g}" for g in range(4)}
+    for k_, vals in rng_vals:
+        for q in (0.5, 0.9, 0.99):
+            est = float(got[(got["k"] == k_) & (got["q"] == q)]["value"].iloc[0])
+            exact = float(np.quantile(vals, q))
+            assert abs(est - exact) / abs(exact) <= 0.01, (k_, q, est, exact)
+
+
+def test_group_quantiles_exact_when_small(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.sketches import group_quantile_sketch
+
+    # groups below k centroids: the sketch holds every value, estimates
+    # use the midpoint-interpolation convention of quantiles()
+    docs = pd.DataFrame(
+        {"k": ["a"] * 100 + ["b"] * 50, "x": list(range(100)) + list(range(0, 500, 10))}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)).repartition(1)
+    got = group_quantile_sketch(ds, "k", "x", qs=(0.5,)).to_pandas()
+    a50 = float(got[(got["k"] == "a")]["value"].iloc[0])
+    assert abs(a50 - 49.5) <= 1.0
