@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_customer_order_join,
         q_customer_running_total,
         q_distinct_flags,
+        q_full_outer_join,
         q_events_hourly,
         q_lineitem_agg,
         q_orders_rank_per_group,
@@ -422,6 +423,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # accuracy vs exact is the group_quantile_max_rel_err row of
         # approx_metrics.
         "group_quantiles": q_group_quantiles,
+        # partition-wise FULL OUTER hash join (kazu_ray/joins.py, both
+        # null directions real via the sparse order log); exact frame
+        # parity incl. null placement is the fo_join_parity row of
+        # approx_metrics.
+        "full_outer_join": q_full_outer_join,
     }
 
 

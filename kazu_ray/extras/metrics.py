@@ -633,6 +633,54 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_fo_join_parity(sf_dir: str) -> pd.DataFrame:
+    """Full-outer hash-join parity: the partition-wise join (both null
+    directions populated — customers with no logged orders AND orders
+    whose customer fell out of the filtered left side) vs DuckDB's
+    FULL OUTER JOIN — exact frame equality including null placement."""
+    import duckdb
+
+    import numpy as np
+
+    from ..relational import full_outer_join_oracle_sql, q_full_outer_join
+
+    got = (
+        q_full_outer_join(sf_dir)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = (
+        con.execute(full_outer_join_oracle_sql())
+        .df()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    equal = len(got) == len(exp) and bool(
+        (got["c_custkey"].values == exp["c_custkey"].values).all()
+    )
+    for c in ("c_acctbal", "n_orders", "total_price"):
+        equal = equal and bool(
+            (got[c].isna().values == exp[c].isna().values).all()
+        ) and bool(
+            np.allclose(got[c].fillna(0.0), exp[c].fillna(0.0))
+        )
+    n_left_only = int(got["n_orders"].isna().sum())
+    n_right_only = int(got["c_acctbal"].isna().sum())
+    return pd.DataFrame(
+        {
+            "paths_equal": [bool(equal and n_left_only > 0 and n_right_only > 0)],
+            "n_left_only": [n_left_only],
+            "n_right_only": [n_right_only],
+        }
+    )
+
+
 def q_group_quantile_gate(sf_dir: str) -> pd.DataFrame:
     """Groupwise quantile-sketch accuracy: every (group, q) estimate
     within 1% of the exact per-group quantile (numpy linear
@@ -1250,6 +1298,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         0.01,
         m["max_rel_err"] <= 0.01,
     )
+    m = q_fo_join_parity(sf_dir).iloc[0]
+    add("fo_join_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

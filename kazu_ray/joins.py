@@ -37,6 +37,7 @@ def _bucket_of(key_col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
 _ARROW_JOIN_TYPE = {
     "inner": "inner",
     "left_outer": "left outer",
+    "full_outer": "full outer",
     "left_semi": "left semi",
     "left_anti": "left anti",
 }

@@ -414,3 +414,96 @@ def q_orders_rank_per_group(sf_dir: str, k: int = 3):
         .map_groups(merge, batch_format="pandas")
         .sort(["o_orderpriority", "rank"])
     )
+
+
+def _partial_order_log(t):
+    """Deterministic sparse feed: keep every 5th order (vectorized) —
+    sparse enough that some customers lose every order, making the
+    left-only null direction real on this synthetic corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    ok = t.column("o_orderkey").to_numpy(zero_copy_only=False) % 5 == 0
+    return t.filter(pa.array(ok)).drop_columns(["o_orderkey"])
+
+
+def q_full_outer_join(sf_dir: str):
+    """Partition-wise FULL OUTER join (kazu_ray/joins.py hash_join with
+    join_type 'full outer'): non-negative-balance customers against
+    per-customer aggregates of a SPARSE order log (o_orderkey % 5 == 0
+    — a deterministic stand-in for an incomplete feed; this synthetic
+    corpus assigns every customer at least one order, so the partial
+    log is what makes the left-only direction real).  Both null
+    directions then occur: customers whose every order fell out of the
+    log carry null order columns, and negative-balance customers WITH
+    logged orders surface as right-only rows with a null acctbal.
+    Exact frame parity vs DuckDB's FULL OUTER JOIN is the
+    fo_join_parity row of approx_metrics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_join
+
+    cust = (
+        _rd()
+        .read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+        .filter(expr="c_acctbal >= 0")
+    )
+    orders = (
+        _rd()
+        .read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(_partial_order_log, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_price"),
+        )
+    )
+    out = hash_join(
+        cust,
+        orders,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        how="full_outer",
+        num_partitions=16,
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_acctbal", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("n_orders", pa.int64()),
+                ("total_price", pa.float64()),
+            ]
+        ),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_price"),
+            "total_price",
+            pc_round_sql(t["total_price"], 2),
+        ),
+        batch_format="pyarrow",
+    ).sort("c_custkey")
+
+
+def full_outer_join_oracle_sql() -> str:
+    return """
+        WITH c AS (
+          SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal >= 0
+        ),
+        o AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 ROUND(SUM(o_totalprice), 2) AS total_price
+          FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_custkey
+        )
+        SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+               c.c_acctbal, o.n_orders, o.total_price
+        FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        ORDER BY c_custkey
+    """

@@ -74,3 +74,38 @@ def test_collision_raises(ray_session):
     right = rd.from_arrow(pa.table({"rk": [1], "v": [2]}))
     with pytest.raises(ValueError, match="collide"):
         hash_join(left, right, left_on="k", right_on="rk")
+
+
+# --- full outer join -------------------------------------------------------
+
+
+def test_full_outer_join_hand_fixture(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.joins import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "lv": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([2, 3, 4], pa.int64()), "rv": pa.array([200, 300, 400], pa.int64())})
+    )
+    out = (
+        hash_join(left, right, left_on="k", right_on="rk", how="full_outer", num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].fillna(-1).tolist() == [10, 20, 30, -1]
+    assert out["rv"].fillna(-1).tolist() == [-1, 200, 300, 400]
+
+
+def test_full_outer_join_query_parity(ray_session):
+    from kazu_ray.extras.metrics import q_fo_join_parity
+
+    m = q_fo_join_parity("/root/testdata/sf0.001").iloc[0]
+    assert m["paths_equal"]
+    assert m["n_left_only"] > 0 and m["n_right_only"] > 0
