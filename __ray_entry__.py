@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_ivf_topk,
         q_label_centroids,
         q_pq_topk,
+        q_standardize,
     )
     from kazu_ray.extras.sketches import q_price_quantiles
     from kazu_ray.extras.pii import q_pii_scan
@@ -428,6 +429,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parity incl. null placement is the fo_join_parity row of
         # approx_metrics.
         "full_outer_join": q_full_outer_join,
+        # per-dimension embedding standardization (z-score): fixed-size
+        # per-block moment partials -> broadcast mean/std -> one
+        # streaming apply pass; exact 6dp SQL parity on stats + sample
+        # z-scores is the standardize_parity row of approx_metrics.
+        "standardize": q_standardize,
     }
 
 

@@ -633,6 +633,40 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_standardize_parity(sf_dir: str) -> pd.DataFrame:
+    """Embedding z-score parity: distributed moment-partial stats +
+    streaming standardize vs DuckDB recomputing means, population
+    stds and sample z-scores — exact on the 6dp-rounded values."""
+    import duckdb
+
+    import numpy as np
+
+    from .similarity import q_standardize, standardize_oracle_sql
+
+    got = (
+        q_standardize(sf_dir)
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = (
+        con.execute(standardize_oracle_sql())
+        .df()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    equal = len(got) == len(exp) and bool(
+        (got["vec_id"].values == exp["vec_id"].values).all()
+        and (got["dim"].values == exp["dim"].values).all()
+        and (np.abs(got["zvalue"].values - exp["zvalue"].values) == 0).all()
+    )
+    return pd.DataFrame({"paths_equal": [equal], "n_rows": [len(got)]})
+
+
 def q_fo_join_parity(sf_dir: str) -> pd.DataFrame:
     """Full-outer hash-join parity: the partition-wise join (both null
     directions populated — customers with no logged orders AND orders
@@ -1300,6 +1334,10 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     )
     m = q_fo_join_parity(sf_dir).iloc[0]
     add("fo_join_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_standardize_parity(sf_dir).iloc[0]
+    add(
+        "standardize_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"]
+    )
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]

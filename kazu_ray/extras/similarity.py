@@ -718,3 +718,138 @@ def q_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     import ray.data as _rd
 
     return _rd.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding standardization (z-score) — the feature-prep
+# pass before distance-based operators (k-means, SemDeDup, near-dup
+# thresholds) when dimensions carry different scales.  Two streaming
+# passes, no shuffle: (1) each block emits ONE fixed-size moment row
+# (per-dim sum, sum-of-squares, count — the PCA moment-partial shape),
+# the driver folds the <= n_blocks partials into 64 means/stds (tiny by
+# construction) and broadcasts them; (2) one map pass emits
+# (x - mean) / std per dimension.  Population std (match STDDEV_POP);
+# constant dimensions pass through unscaled (std floor at 1e-12).
+
+
+def standardize_stats(ds, dim: int = 64):
+    """(mean, std) per dimension from fixed-size per-block moment
+    partials — <= n_blocks x (2*dim + 1) floats ever reach the
+    driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix_raw(t)
+        return pa.table(
+            {
+                "n": pa.array([float(len(mat))], type=pa.float64()),
+                "s": pa.array([mat.sum(axis=0)], type=pa.list_(pa.float64())),
+                "s2": pa.array([(mat**2).sum(axis=0)], type=pa.list_(pa.float64())),
+            }
+        )
+
+    n_tot = 0.0
+    s = np.zeros(dim)
+    s2 = np.zeros(dim)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for r in b.to_pylist():
+            n_tot += r["n"]
+            s += np.asarray(r["s"])
+            s2 += np.asarray(r["s2"])
+    mean = s / n_tot
+    var = s2 / n_tot - mean**2
+    std = np.sqrt(np.maximum(var, 0.0))
+    return mean, np.maximum(std, 1e-12)
+
+
+def _batch_matrix_raw(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, UN-normalized float64 matrix) — standardization operates on
+    raw coordinates, unlike the cosine paths above."""
+    ids = t.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+    col = t.column("embedding").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids.astype(np.int64), flat.reshape(len(col), -1)
+
+
+def standardize_embeddings(ds, mean: np.ndarray, std: np.ndarray):
+    """One streaming pass: (vec_id, zvec list<double>)."""
+    import ray
+
+    ref = ray.put((mean, std))
+
+    def apply(t: pa.Table) -> pa.Table:
+        m, sd = ray.get(ref)
+        ids, mat = _batch_matrix_raw(t)
+        z = (mat - m) / sd
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "zvec": pa.array(list(z), type=pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def q_standardize(sf_dir: str, sample_below: int = 50):
+    """Query surface: per-dim mean/std plus standardized coordinates of
+    the vec_id < sample_below rows (rounded 6dp); exact SQL parity over
+    stats AND sample values is the standardize_parity row of
+    approx_metrics."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mean, std = standardize_stats(ds)
+    z = (
+        standardize_embeddings(
+            ds.filter(expr=f"vec_id < {sample_below}"), mean, std
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in z.iterrows():
+        for d, v in enumerate(r["zvec"]):
+            rows.append((int(r["vec_id"]), d, round(float(v), 6)))
+    out = pd.DataFrame(rows, columns=["vec_id", "dim", "zvalue"])
+    stats = pd.DataFrame(
+        {
+            "vec_id": -1,
+            "dim": range(len(mean)),
+            "zvalue": [round(float(m), 6) for m in mean],
+        }
+    )
+    return pd.concat([stats, out], ignore_index=True)
+
+
+def standardize_oracle_sql(dim: int = 64, sample_below: int = 50) -> str:
+    """Stats + standardized sample as one DuckDB query: population
+    std over every row, z-scores for vec_id < sample_below; the
+    vec_id = -1 rows carry the per-dim means (same layout as the Ray
+    surface)."""
+    return f"""
+        WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+        stats AS (
+          SELECT d.i AS i,
+                 AVG(CAST(e.embedding[d.i] AS DOUBLE)) AS mean,
+                 GREATEST(STDDEV_POP(CAST(e.embedding[d.i] AS DOUBLE)), 1e-12) AS std
+          FROM embeddings e CROSS JOIN dims d GROUP BY d.i
+        ),
+        sample AS (
+          SELECT e.vec_id, CAST(s.i - 1 AS BIGINT) AS dim,
+                 ROUND((CAST(e.embedding[s.i] AS DOUBLE) - s.mean) / s.std, 6)
+                   AS zvalue
+          FROM embeddings e CROSS JOIN stats s
+          WHERE e.vec_id < {sample_below}
+        )
+        SELECT CAST(-1 AS BIGINT) AS vec_id, CAST(i - 1 AS BIGINT) AS dim,
+               ROUND(mean, 6) AS zvalue FROM stats
+        UNION ALL
+        SELECT vec_id, dim, zvalue FROM sample
+        ORDER BY vec_id, dim
+    """

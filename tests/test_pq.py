@@ -97,3 +97,47 @@ def test_pq_reconstruction_beats_random_codes(ray_session):
         (mat - recon(rng.integers(0, 256, size=codes.shape))) ** 2
     ).sum(axis=1).mean()
     assert err_trained < 0.5 * err_random
+
+
+# --- embedding standardization ---------------------------------------------
+
+
+def test_standardize_parity_and_properties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.metrics import q_standardize_parity
+    from kazu_ray.extras.similarity import standardize_embeddings, standardize_stats
+
+    m = q_standardize_parity(SF).iloc[0]
+    assert m["paths_equal"]
+
+    # standardized corpus has ~zero mean and ~unit std per dim
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mean, std = standardize_stats(ds)
+    z = standardize_embeddings(ds, mean, std).to_pandas()
+    zmat = np.vstack(z["zvec"].to_numpy())
+    assert np.abs(zmat.mean(axis=0)).max() < 1e-9
+    assert np.abs(zmat.std(axis=0) - 1.0).max() < 1e-9
+
+
+def test_standardize_constant_dim_passthrough(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.similarity import standardize_embeddings, standardize_stats
+
+    vecs = [[float(i), 7.0] for i in range(10)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    mean, std = standardize_stats(ds, dim=2)
+    assert std[1] == 1e-12  # floored, no div-by-zero
+    z = standardize_embeddings(ds, mean, std).to_pandas()
+    zmat = np.vstack(z["zvec"].to_numpy())
+    assert np.allclose(zmat[:, 1], 0.0)  # constant dim -> all zeros
