@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.kn_lm import q_kn_perplexity
     from kazu_ray.extras.chunk_dedup import q_chunk_dedup
     from kazu_ray.extras.sampling import q_weighted_sample as _q_weighted_sample
+    from kazu_ray.extras.quality import q_repetition_trim as _q_repetition_trim
     from kazu_ray.extras.sketches import (
         q_cms_registers,
         q_group_quantiles,
@@ -434,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming apply pass; exact 6dp SQL parity on stats + sample
         # z-scores is the standardize_parity row of approx_metrics.
         "standardize": q_standardize,
+        # within-doc consecutive-repetition trim (zero shuffle, one
+        # vectorized pass); exact count+digest SQL parity via LAG is
+        # the repetition_trim_parity row of approx_metrics.
+        "repetition_trim": _q_repetition_trim,
     }
 
 

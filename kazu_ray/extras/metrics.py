@@ -633,6 +633,43 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_repetition_trim_parity(sf_dir: str) -> pd.DataFrame:
+    """Within-doc repetition-trim parity: the zero-shuffle vectorized
+    trim vs DuckDB's LAG replay — exact counts + cleaned-text md5."""
+    import duckdb
+
+    from .quality import q_repetition_trim, repetition_trim_oracle_sql
+
+    got = (
+        q_repetition_trim(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = (
+        con.execute(repetition_trim_oracle_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    equal = len(got) == len(exp)
+    for c in ("doc_id", "n_words", "n_trimmed"):
+        equal = equal and bool(
+            (got[c].astype("int64").values == exp[c].astype("int64").values).all()
+        )
+    equal = equal and bool(
+        (got["trimmed_digest"].values == exp["trimmed_digest"].values).all()
+    )
+    return pd.DataFrame(
+        {"paths_equal": [bool(equal)], "n_trimmed": [int(got["n_trimmed"].sum())]}
+    )
+
+
 def q_standardize_parity(sf_dir: str) -> pd.DataFrame:
     """Embedding z-score parity: distributed moment-partial stats +
     streaming standardize vs DuckDB recomputing means, population
@@ -1337,6 +1374,13 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     m = q_standardize_parity(sf_dir).iloc[0]
     add(
         "standardize_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"]
+    )
+    m = q_repetition_trim_parity(sf_dir).iloc[0]
+    add(
+        "repetition_trim_parity",
+        1.0 if m["paths_equal"] else 0.0,
+        1.0,
+        m["paths_equal"],
     )
     from .kmeans import q_kmeans_equivalence
 

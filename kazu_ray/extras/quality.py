@@ -649,3 +649,89 @@ def lm_perplexity_oracle_sql(vocab_size: int = LM_VOCAB) -> str:
                ROUND(EXP(-AVG(lp)), 2) AS ppl
         FROM scored GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Within-doc consecutive-repetition trim — the doc-LOCAL cleanup
+# counterpart to the corpus-global chunk dedup (extras/chunk_dedup.py):
+# drop each word that exactly repeats its immediate predecessor ("the
+# the", OCR stutter, template echo).  ZERO shuffle: one row is one
+# document, so the whole operator is a single vectorized map_batches
+# (polars shift().over(doc_id) + filter); nothing ever leaves a block.
+# Exact SQL parity (counts AND the md5 digest of each cleaned text)
+# via DuckDB LAG — the repetition_trim_parity row of approx_metrics.
+
+
+def repetition_trim(docs_ds):
+    """docs (doc_id, text) -> (doc_id, n_words, n_trimmed,
+    trimmed_digest) with consecutive duplicate words removed."""
+
+    def trim(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import polars as pl
+
+        words = (
+            pl.from_arrow(batch.select(["doc_id", "text"]))
+            .with_columns(ws=pl.col("text").str.extract_all(_WORD_RE))
+            .filter(pl.col("ws").list.len() >= 1)
+            .select("doc_id", "ws")
+            .explode("ws")
+            .with_columns(keep=pl.col("ws") != pl.col("ws").shift(1).over("doc_id"))
+            .with_columns(keep=pl.col("keep").fill_null(True))
+        )
+        agg = (
+            words.group_by("doc_id", maintain_order=True)
+            .agg(
+                n_words=pl.len().cast(pl.Int64),
+                n_trimmed=(~pl.col("keep")).sum().cast(pl.Int64),
+                cleaned=pl.col("ws").filter(pl.col("keep")).str.join(" "),
+            )
+        )
+        pdf = agg.to_pandas()
+        pdf["trimmed_digest"] = [
+            hashlib.md5(s.encode()).hexdigest() for s in pdf["cleaned"]
+        ]
+        return pa.Table.from_pandas(
+            pdf[["doc_id", "n_words", "n_trimmed", "trimmed_digest"]],
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    return docs_ds.map_batches(trim, batch_format="pyarrow")
+
+
+def q_repetition_trim(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_trim(ds).sort("doc_id")
+
+
+def repetition_trim_oracle_sql() -> str:
+    """The trim as one DuckDB query — same word regex, LAG-based keep
+    rule, same md5 of the space-joined survivors."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS ws
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, len(ws)),
+              i -> struct_pack(pos := i, w := ws[i]))) AS u
+          FROM w WHERE len(ws) >= 1
+        ),
+        f AS (
+          SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.w AS w,
+                 (u.w IS DISTINCT FROM
+                  LAG(u.w) OVER (PARTITION BY doc_id ORDER BY u.pos)) AS keep
+          FROM p
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_trimmed,
+               md5(string_agg(w, ' ' ORDER BY pos) FILTER (keep))
+                 AS trimmed_digest
+        FROM f GROUP BY doc_id ORDER BY doc_id
+    """

@@ -188,3 +188,40 @@ def test_unigram_lm_fixture(ray_session):
     assert abs(got[0]["ppl"] - round(math.exp(d0), 2)) < 1e-9
     # common-token doc scores lower perplexity than the OOV doc
     assert got[0]["ppl"] < got[1]["ppl"]
+
+
+# --- within-doc repetition trim --------------------------------------------
+
+
+def test_repetition_trim_parity_and_fixture(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.extras.metrics import q_repetition_trim_parity
+    from kazu_ray.extras.quality import repetition_trim, repetition_trim_oracle_sql
+
+    m = q_repetition_trim_parity("/root/testdata/sf0.001").iloc[0]
+    assert m["paths_equal"]
+    assert m["n_trimmed"] > 0  # the corpus actually exercises the trim
+
+    # hand fixture: stutters collapse, non-adjacent repeats survive
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the the the cat sat sat",
+                "a b a b a b",
+                "x",
+            ],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    got = repetition_trim(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["n_words"].tolist() == [6, 6, 1]
+    assert got["n_trimmed"].tolist() == [3, 0, 0]
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(repetition_trim_oracle_sql()).df()
+    assert (got["trimmed_digest"].values == exp["trimmed_digest"].values).all()
