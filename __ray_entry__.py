@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.chunk_dedup import q_chunk_dedup
     from kazu_ray.extras.sampling import q_weighted_sample as _q_weighted_sample
     from kazu_ray.extras.quality import q_repetition_trim as _q_repetition_trim
+    from kazu_ray.extras.profile import q_profile as _q_profile
     from kazu_ray.extras.sketches import (
         q_cms_registers,
         q_group_quantiles,
@@ -439,6 +440,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectorized pass); exact count+digest SQL parity via LAG is
         # the repetition_trim_parity row of approx_metrics.
         "repetition_trim": _q_repetition_trim,
+        # single-pass column profiling (Deequ/TFDV-style: n, nulls,
+        # typed min/max, HLL distinct per column; fixed-size partials,
+        # columns x 4KB merged state at any table size); exact SQL
+        # parity incl. register replay is the profile_parity row of
+        # approx_metrics.
+        "profile": _q_profile,
     }
 
 

@@ -633,6 +633,51 @@ def q_kn_parity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
+def q_profile_parity(sf_dir: str) -> pd.DataFrame:
+    """Column-profile parity: one streaming pass's per-column n /
+    n_null / min / max exactly equal DuckDB's aggregates, and each
+    column's HLL registers replayed in SQL yield the identical
+    distinct estimate and nonzero-register count."""
+    import duckdb
+
+    import numpy as np
+
+    from .profile import (
+        PROFILE_COLUMNS,
+        profile_hll_oracle_sql,
+        profile_oracle_sql,
+        q_profile,
+    )
+    from .sketches import HLL_M, hll_estimate
+
+    got = q_profile(sf_dir).sort_values("column").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    exp = (
+        con.execute(profile_oracle_sql()).df().sort_values("column").reset_index(drop=True)
+    )
+    equal = bool(
+        (got["column"].values == exp["column"].values).all()
+        and (got["n"].values == exp["n"].astype("int64").values).all()
+        and (got["n_null"].values == exp["n_null"].astype("int64").values).all()
+        and (got["min_str"].fillna("~").values == exp["min_str"].fillna("~").values).all()
+        and (got["max_str"].fillna("~").values == exp["max_str"].fillna("~").values).all()
+    )
+    for col in PROFILE_COLUMNS:
+        regs_df = con.execute(profile_hll_oracle_sql(col)).df()
+        arr = np.zeros(HLL_M, dtype=np.uint8)
+        arr[regs_df["register"].to_numpy()] = regs_df["rho"].to_numpy()
+        row = got[got["column"] == col].iloc[0]
+        equal = equal and (
+            round(hll_estimate(arr), 4) == float(row["n_distinct_est"])
+            and int((arr > 0).sum()) == int(row["nonzero_registers"])
+        )
+    return pd.DataFrame({"paths_equal": [equal], "n_columns": [len(got)]})
+
+
 def q_repetition_trim_parity(sf_dir: str) -> pd.DataFrame:
     """Within-doc repetition-trim parity: the zero-shuffle vectorized
     trim vs DuckDB's LAG replay — exact counts + cleaned-text md5."""
@@ -1382,6 +1427,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         1.0,
         m["paths_equal"],
     )
+    m = q_profile_parity(sf_dir).iloc[0]
+    add("profile_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
     m = q_punkt_gate(sf_dir).iloc[0]
