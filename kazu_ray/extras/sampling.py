@@ -195,6 +195,10 @@ def weighted_sample_n(
         score = np.where(w > 0, u ** np.where(w > 0, 1.0 / np.maximum(w, 1e-300), 1.0), -1.0)
         df = t.to_pandas()
         df["_score"] = score
+        # drop weight<=0 rows HERE (not a sentinel score): the contract
+        # is they never win, even when fewer than n positive-weight
+        # rows exist — matching the oracle's WHERE weight > 0
+        df = df[df["_score"] >= 0.0]
         df = df.sort_values(["_score", key], ascending=[False, True]).head(n)
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 

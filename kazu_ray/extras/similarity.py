@@ -574,7 +574,15 @@ def pq_encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
 def _pq_sample(sf_dir: str) -> np.ndarray:
     """Bounded deterministic training sample (vec_id-ordered prefix of
     the id space — at corpus scale a salted-hash Bernoulli sample, same
-    contract as extras/sampling.py; the cap is what matters)."""
+    contract as extras/sampling.py; the cap is what matters).
+
+    Rows are returned in STRICT vec_id order: Ray Data executes with
+    preserve_order=False (context.py), so block arrival order varies
+    run-to-run, and pq_train_codebooks seeds centroids by row position
+    (rng.choice over positions).  The argsort below is what makes the
+    trained codebooks a pure function of the data rather than of the
+    scheduler — the root cause of the round-4 order-dependent
+    pq_path_equal flake."""
     import ray.data as rd
 
     ds = (
@@ -582,8 +590,8 @@ def _pq_sample(sf_dir: str) -> np.ndarray:
         .filter(expr=f"vec_id < {PQ_TRAIN_CAP}")
     )
     tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    _, mat = _batch_matrix(tbl)
-    return mat
+    ids, mat = _batch_matrix(tbl)
+    return mat[np.argsort(ids)]
 
 
 def pq_encode_corpus(sf_dir: str, books: np.ndarray):
@@ -609,16 +617,19 @@ def pq_encode_corpus(sf_dir: str, books: np.ndarray):
     ).map_batches(encode, batch_format="pyarrow")
 
 
-def q_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+def q_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, books=None):
     """PQ-ADC shortlist + exact re-rank top-k for the first n_queries
     vectors; same output schema as q_ann_topk (query_id, vec_id,
     cosine with TRUE rounded cosines), so recall pins directly against
-    the exact oracle — the pq_recall row of approx_metrics."""
+    the exact oracle — the pq_recall row of approx_metrics.  `books`
+    lets a caller (the path-equivalence gate) train codebooks ONCE and
+    share them across the distributed and reference paths."""
     import ray
     import ray.data as rd
 
     q_ids, q_mat = _query_vectors(sf_dir, n_queries)
-    books = pq_train_codebooks(_pq_sample(sf_dir))
+    if books is None:
+        books = pq_train_codebooks(_pq_sample(sf_dir))
     codes_ds = pq_encode_corpus(sf_dir, books)
 
     # per-query ADC lookup tables: LUT[q, m, c] = <q_sub, codebook cell>
@@ -812,16 +823,19 @@ def q_standardize(sf_dir: str, sample_below: int = 50):
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+    from ..functions.rounding import round_half_away
+
     rows = []
     for _, r in z.iterrows():
         for d, v in enumerate(r["zvec"]):
-            rows.append((int(r["vec_id"]), d, round(float(v), 6)))
+            # half-away rounding to match DuckDB ROUND (not banker's)
+            rows.append((int(r["vec_id"]), d, float(round_half_away(float(v), 6))))
     out = pd.DataFrame(rows, columns=["vec_id", "dim", "zvalue"])
     stats = pd.DataFrame(
         {
             "vec_id": -1,
             "dim": range(len(mean)),
-            "zvalue": [round(float(m), 6) for m in mean],
+            "zvalue": round_half_away(np.asarray(mean, dtype=np.float64), 6),
         }
     )
     return pd.concat([stats, out], ignore_index=True)
