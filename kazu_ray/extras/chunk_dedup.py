@@ -10,26 +10,33 @@ only at its FIRST occurrence corpus-wide — the occurrence with the
 lexicographically smallest (doc_id, chunk_no).  Every other copy is
 dropped, and each document is re-assembled from its surviving chunks.
 
-Shape (the repo's two-exchange passage pattern, fully vectorized):
+Shape — HASH-ONLY classification exchange + size-routed verdict apply
+(round 5; the round-4 design shipped chunk TEXT through both of its
+exchanges, ~2x corpus bytes total):
 
-1. ``map_batches`` → (doc_id, chunk_no, chunk) rows: polars
-   ``explode`` + ``int_range().over(doc_id)`` word numbering, chunk_no
-   = word_no // k, one vectorized group-join per batch; trailing
-   partial chunks are real chunks (every word belongs to exactly one).
-2. coarse exchange on ``hash(chunk) % P`` — every copy of a chunk text
-   lands in one partition, where a sort + ``is_first_distinct`` marks
-   the global winner exactly (no hash-collision risk: the in-partition
-   key is the string itself).  Dropped rows ship a NULL chunk onward,
-   so the doc-side exchange carries each surviving byte once.
-3. coarse exchange on ``hash(doc_id) % P`` → per-doc reassembly:
-   counts, kept fraction, and an md5 digest of the surviving text (the
-   digest is what the SQL oracle compares, so reassembly order and
-   byte content are both pinned cross-engine).
-
-At 100 TB the chunk exchange is a single all-to-all whose
-per-partition share is bounded by ``shuffle_partitions`` byte scaling;
-within-doc text never amplifies (non-overlapping chunks partition the
-words, unlike the k-gram sliding window which is k-fold).
+1. ``map_batches`` scan 1 → KEYS ONLY: (h1, h2, doc_id, chunk_no,
+   part) where (h1, h2) is a 128-bit composite of two independent
+   64-bit hashes of the chunk text (collision odds ~n^2 / 2^128 —
+   ~3e-15 at 10^12 chunks; documented seam, same class as md5-keyed
+   dedup everywhere else in this repo).  ~40 B/row crosses the wire
+   instead of the 60-600 B chunk text — the ~10x byte cut.
+2. coarse exchange on ``h1 % P``: every copy of a chunk text lands in
+   one partition; a sort + ``is_first_distinct`` over (h1, h2) marks
+   the global winner.  ONLY LOSERS leave the partition, as thin
+   (doc_id, chunk_no) verdict rows — dup_fraction x n_chunks x 16 B.
+3. verdict application, routed by measured loser count:
+   - **broadcast path** (losers <= broadcast_max_losers, the common
+     prose-corpus case): ``ray.put`` the loser key table once; scan 2
+     re-chunks each document INSIDE ``map_batches`` (documents are
+     whole rows, so chunking never leaves the batch), anti-joins the
+     broadcast keys, and reassembles per doc.  ZERO exchanges carry
+     text; the corpus is scanned twice from storage (columnar reads),
+     which at 100 TB is strictly cheaper than one all-to-all of the
+     same bytes.
+   - **co-group fallback** (loser set too big to broadcast): loser
+     verdicts and re-chunked doc rows are unioned and co-grouped on
+     ``hash(doc_id) % P`` — text crosses ONE exchange (1x corpus
+     bytes, still half the round-4 design), verdicts join in-partition.
 
 Every step is replayed exactly by one DuckDB query
 (``chunk_dedup_oracle_sql``): same word regex, same chunk slicing,
@@ -52,6 +59,11 @@ from ..context import input_bytes, shuffle_partitions
 _WORD_RE = r"[a-z0-9]+"
 DEFAULT_K = 10
 
+# broadcast the loser verdict table when it has at most this many rows
+# (2 int64 columns -> ~32 MB at the cap); above it, the co-group
+# fallback keeps every structure partition-bounded
+BROADCAST_MAX_LOSERS = 2_000_000
+
 CHUNK_DEDUP_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -63,9 +75,10 @@ CHUNK_DEDUP_SCHEMA = pa.schema(
 )
 
 
-def _doc_chunks_batch(batch: pa.Table, k: int, nparts: int) -> pa.Table:
-    """(doc_id, chunk_no, chunk, part): non-overlapping k-word chunks
-    per document, coarse exchange partition precomputed."""
+def _chunks_pl(batch: pa.Table, k: int):
+    """(doc_id, chunk_no, chunk) polars frame: non-overlapping k-word
+    chunks per document (trailing partial chunks are real chunks).
+    Stays inside the batch — documents are whole input rows."""
     import polars as pl
 
     words = (
@@ -79,62 +92,76 @@ def _doc_chunks_batch(batch: pa.Table, k: int, nparts: int) -> pa.Table:
             chunk_no=(pl.int_range(pl.len()).over("doc_id") // k).cast(pl.Int64)
         )
     )
-    out = (
+    return (
         words.group_by("doc_id", "chunk_no", maintain_order=True)
         .agg(chunk=pl.col("word").str.join(" "))
-        .with_columns(part=(pl.col("chunk").hash(seed=7) % nparts).cast(pl.Int64))
+    )
+
+
+def _chunk_keys_batch(batch: pa.Table, k: int, nparts: int) -> pa.Table:
+    """Scan-1 map: keys only — (h1, h2, doc_id, chunk_no, part).  The
+    chunk text itself never leaves this task."""
+    import polars as pl
+
+    out = _chunks_pl(batch, k).with_columns(
+        h1=pl.col("chunk").hash(seed=7),
+        h2=pl.col("chunk").hash(seed=13),
+    ).with_columns(part=(pl.col("h1") % nparts).cast(pl.Int64)).select(
+        "h1", "h2", "doc_id", "chunk_no", "part"
     )
     return out.to_arrow().cast(
         pa.schema(
             [
+                ("h1", pa.uint64()),
+                ("h2", pa.uint64()),
                 ("doc_id", pa.int64()),
                 ("chunk_no", pa.int64()),
-                ("chunk", pa.string()),
                 ("part", pa.int64()),
             ]
         )
     )
 
 
-def _make_classify_in_partition(nparts: int):
-    """Within one coarse chunk partition (which holds EVERY copy of each
-    of its chunk texts): mark the global first occurrence per chunk text
-    via sort + is_first_distinct, null out the text of dropped copies so
-    the doc-side exchange only ships surviving bytes."""
+def _make_losers_in_partition(nparts: int):
+    """Within one coarse key partition (which holds EVERY occurrence of
+    each of its chunk texts): the global first occurrence per (h1, h2)
+    — smallest (doc_id, chunk_no) — wins; emit ONLY the losers as thin
+    (doc_id, chunk_no, dpart) verdict rows."""
 
-    def classify(group) -> "object":
+    def losers(group) -> "object":
         import polars as pl
 
         df = (
-            pl.from_pandas(group[["doc_id", "chunk_no", "chunk"]])
-            .sort("chunk", "doc_id", "chunk_no")
-            .with_columns(keep=pl.col("chunk").is_first_distinct())
+            pl.from_pandas(group[["h1", "h2", "doc_id", "chunk_no"]])
+            .sort("h1", "h2", "doc_id", "chunk_no")
+            .with_columns(keep=pl.struct("h1", "h2").is_first_distinct())
+        )
+        out = (
+            df.filter(~pl.col("keep"))
+            .select("doc_id", "chunk_no")
             .with_columns(
-                chunk=pl.when(pl.col("keep")).then(pl.col("chunk")).otherwise(None),
-                dpart=(pl.col("doc_id").hash(seed=3) % nparts).cast(pl.Int64),
+                dpart=(pl.col("doc_id").hash(seed=3) % nparts).cast(pl.Int64)
             )
         )
-        return df.to_pandas()
+        return out.to_pandas()
 
-    return classify
+    return losers
 
 
-def _reassemble_docs(group) -> "object":
-    """Per-doc totals + surviving-text md5 digest, vectorized over the
-    doc-side coarse partition (one hashlib call per doc with >=1 kept
-    chunk; docs per partition are bounded by the byte-scaled P)."""
+def _reassemble_pl(marked, keep_col: str = "keep"):
+    """(doc_id, chunk_no, chunk, keep) polars frame -> per-doc output
+    pandas frame (n_chunks, n_kept, kept_frac, kept_digest)."""
     import hashlib
 
     import polars as pl
 
     agg = (
-        pl.from_pandas(group[["doc_id", "chunk_no", "chunk", "keep"]])
-        .sort("doc_id", "chunk_no")
+        marked.sort("doc_id", "chunk_no")
         .group_by("doc_id", maintain_order=True)
         .agg(
             n_chunks=pl.len().cast(pl.Int64),
-            n_kept=pl.col("keep").sum().cast(pl.Int64),
-            kept_join=pl.col("chunk").drop_nulls().str.join(" "),
+            n_kept=pl.col(keep_col).sum().cast(pl.Int64),
+            kept_join=pl.col("chunk").filter(pl.col(keep_col)).str.join(" "),
         )
         .with_columns(kept_frac=pl.col("n_kept") / pl.col("n_chunks"))
     )
@@ -146,19 +173,150 @@ def _reassemble_docs(group) -> "object":
     return pdf[["doc_id", "n_chunks", "n_kept", "kept_frac", "kept_digest"]]
 
 
-def chunk_dedup(docs_ds, k: int = DEFAULT_K, num_partitions: int | None = None):
+class _ApplyVerdictsBroadcast:
+    """Actor: re-chunk each doc locally, anti-join the broadcast loser
+    keys, reassemble.  Loser table fetched ONCE per actor in
+    __init__."""
+
+    def __init__(self, losers_ref, k: int):
+        import polars as pl
+        import ray
+
+        tbl = ray.get(losers_ref)
+        self.losers = pl.from_arrow(tbl).select("doc_id", "chunk_no").with_columns(
+            _drop=pl.lit(True)
+        )
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        marked = (
+            _chunks_pl(batch, self.k)
+            .join(self.losers, on=["doc_id", "chunk_no"], how="left")
+            .with_columns(keep=pl.col("_drop").is_null())
+        )
+        out = _reassemble_pl(marked)
+        return pa.Table.from_pandas(out, schema=CHUNK_DEDUP_SCHEMA,
+                                    preserve_index=False)
+
+
+def _make_doc_rows_batch(k: int, nparts: int):
+    """Fallback scan-2 map: (doc_id, chunk_no, chunk, dpart, verdict)
+    data rows for the co-group exchange."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = _chunks_pl(batch, k).with_columns(
+            dpart=(pl.col("doc_id").hash(seed=3) % nparts).cast(pl.Int64),
+            verdict=pl.lit(False),
+        ).select("doc_id", "chunk_no", "chunk", "dpart", "verdict")
+        return out.to_arrow().cast(_UNION_SCHEMA)
+
+    return fn
+
+
+_UNION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("chunk_no", pa.int64()),
+        ("chunk", pa.string()),
+        ("dpart", pa.int64()),
+        ("verdict", pa.bool_()),
+    ]
+)
+
+
+def _verdict_rows_batch(batch: pa.Table) -> pa.Table:
+    """Fallback: loser (doc_id, chunk_no, dpart) rows cast onto the
+    union schema (chunk NULL, verdict TRUE)."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "chunk_no": batch.column("chunk_no"),
+            "chunk": pa.nulls(n, pa.string()),
+            "dpart": batch.column("dpart"),
+            "verdict": pa.array([True] * n, pa.bool_()),
+        },
+        schema=_UNION_SCHEMA,
+    )
+
+
+def _reassemble_with_verdicts(group) -> "object":
+    """Co-group reducer: one dpart partition holds every chunk row of
+    its docs AND their loser verdicts; anti-join in-partition and
+    reassemble."""
+    import polars as pl
+
+    df = pl.from_pandas(group[["doc_id", "chunk_no", "chunk", "verdict"]])
+    data = df.filter(~pl.col("verdict"))
+    drops = (
+        df.filter(pl.col("verdict"))
+        .select("doc_id", "chunk_no")
+        .with_columns(_drop=pl.lit(True))
+    )
+    marked = data.join(drops, on=["doc_id", "chunk_no"], how="left").with_columns(
+        keep=pl.col("_drop").is_null()
+    )
+    return _reassemble_pl(marked)
+
+
+def chunk_dedup(
+    docs_ds,
+    k: int = DEFAULT_K,
+    num_partitions: int | None = None,
+    broadcast_max_losers: int = BROADCAST_MAX_LOSERS,
+):
     """docs (doc_id, text) -> per-doc (doc_id, n_chunks, n_kept,
-    kept_frac, kept_digest) under global keep-first chunk dedup."""
+    kept_frac, kept_digest) under global keep-first chunk dedup.
+
+    Only hash keys cross the classification exchange; the verdict
+    (loser) set is measured and either broadcast (text never moves) or
+    co-group-joined (text crosses one exchange)."""
+    import ray
+
     nparts = num_partitions or shuffle_partitions()
 
-    return (
+    losers = (
         docs_ds.map_batches(
-            lambda b: _doc_chunks_batch(b, k, nparts), batch_format="pyarrow"
+            lambda b: _chunk_keys_batch(b, k, nparts), batch_format="pyarrow"
         )
         .groupby("part")
-        .map_groups(_make_classify_in_partition(nparts), batch_format="pandas")
+        .map_groups(_make_losers_in_partition(nparts), batch_format="pandas")
+        .materialize()
+    )
+    n_losers = losers.count()
+
+    if n_losers <= broadcast_max_losers:
+        if n_losers:
+            loser_tbl = pa.concat_tables(
+                losers.iter_batches(batch_format="pyarrow", batch_size=None)
+            ).select(["doc_id", "chunk_no"])
+        else:
+            loser_tbl = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_no": pa.array([], pa.int64()),
+                }
+            )
+        losers_ref = ray.put(loser_tbl)
+        return docs_ds.map_batches(
+            _ApplyVerdictsBroadcast,
+            fn_constructor_args=(losers_ref, k),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+
+    # co-group fallback: verdicts + re-chunked doc rows, one exchange
+    doc_rows = docs_ds.map_batches(
+        _make_doc_rows_batch(k, nparts), batch_format="pyarrow"
+    )
+    verdict_rows = losers.map_batches(_verdict_rows_batch, batch_format="pyarrow")
+    return (
+        doc_rows.union(verdict_rows)
         .groupby("dpart")
-        .map_groups(_reassemble_docs, batch_format="pandas")
+        .map_groups(_reassemble_with_verdicts, batch_format="pandas")
     )
 
 
