@@ -209,7 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from kazu_ray.extras.sketches import q_price_quantiles
     from kazu_ray.extras.pii import q_pii_scan
-    from kazu_ray.extras.metrics import q_approx_metrics
+    from kazu_ray.extras.metrics import q_approx_metrics, q_gates_failing
     from kazu_ray.extras.kmeans import q_kmeans_clusters, q_semdedup
     from kazu_ray.stages.punkt import q_punkt_sentences
     from kazu_ray.extras.dsir import q_dsir_sample
@@ -332,7 +332,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (rows-only; decode is stubbed)
         "media_features": q_media_features,
         "media_metadata": q_media_metadata,  # real header parse over synthetic PNGs
-        "video_frames": q_video_frames,
+        # the failing rows of the consolidated gate surface, pinned to
+        # ZERO rows by an explicit SQL oracle — a broken gate flips
+        # rows_match in the driver file, not just pytest.  Shares
+        # approx_metrics' memo so the gates run once per process.
+        "gates_failing": q_gates_failing,
         # --- quality-metric queries: the recall / equivalence / parity
         # gates behind the approximate and non-SQL-expressible operators.
         # approx_metrics consolidates nineteen gates (MinHash/IVF/LSH
@@ -346,6 +350,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # budget.
         "transformer_eval": _transformer_eval,
         "approx_metrics": q_approx_metrics,
+        # Past the driver's 50-query budget: video_frames moved here in
+        # round 5 to make room for gates_failing — its frame extraction
+        # stays byte-level pytest-gated (test_multimodal) and its sibling
+        # media queries remain recorded.
+        "video_frames": q_video_frames,
         # Past the driver's 50-query budget: data surfaces for the
         # clustering operators; their correctness gates
         # (kmeans_assign_equal_frac, kmeans_centroid_max_err,
@@ -475,7 +484,11 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.dedup import minhash_oracle_sql, simhash_oracle_sql
     from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
+    from kazu_ray.extras.metrics import gates_failing_oracle_sql
+
     return {
+        # every quality gate passes -> zero failing rows, pinned by SQL
+        "gates_failing": gates_failing_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

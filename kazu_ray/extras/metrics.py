@@ -1327,6 +1327,13 @@ def q_punkt_gate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# q_approx_metrics is memoized per sf_dir so q_gates_failing (the
+# oracle-pinned zero-rows view of the same gates, see below) costs
+# nothing extra when the driver runs both in one process.  The cache
+# holds one small DataFrame per sf_dir; callers get copies.
+_APPROX_CACHE: dict[str, pd.DataFrame] = {}
+
+
 def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     """One row per quality gate — recall / equivalence / parity metrics
     behind the approximate and non-SQL-expressible operators, folded
@@ -1334,6 +1341,9 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     file each round (the driver records the first 50 queries; one
     consolidated metrics query keeps the full oracle-checked surface
     inside that budget)."""
+    cached = _APPROX_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached.copy()
     rows: list[tuple[str, float, float, bool]] = []
 
     def add(metric: str, value, gate, passes):
@@ -1458,7 +1468,36 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         1.0,
         m["semdedup_kept_ok"] and m["semdedup_dropped_ok"],
     )
-    return pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
+    out = pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
+    _APPROX_CACHE[sf_dir] = out
+    return out.copy()
+
+
+def q_gates_failing(sf_dir: str) -> pd.DataFrame:
+    """The FAILING rows of q_approx_metrics — pinned to ZERO rows by an
+    explicit SQL oracle (``gates_failing_oracle_sql``), so a broken gate
+    flips the driver's rows_match in CORRECTNESS_r{N}, not just pytest
+    (round-4 verdict item #4: approx_metrics itself is rows-only
+    recorded, so a gate flipping pass→fail never changed the driver
+    file).  Shares q_approx_metrics' memo, so it is free when both run
+    in one driver process."""
+    df = q_approx_metrics(sf_dir)
+    out = df[~df["passes"]].reset_index(drop=True)
+    return out.astype(
+        {"metric": object, "value": "float64", "gate": "float64", "passes": "bool"}
+    )
+
+
+def gates_failing_oracle_sql() -> str:
+    """Zero rows, same (metric, value, gate, passes) schema: every
+    quality gate is expected to pass every round."""
+    return """
+        SELECT CAST(NULL AS VARCHAR) AS metric,
+               CAST(NULL AS DOUBLE) AS value,
+               CAST(NULL AS DOUBLE) AS gate,
+               CAST(NULL AS BOOLEAN) AS passes
+        WHERE FALSE
+    """
 
 
 def q_neardup_cc_equivalence(sf_dir: str) -> pd.DataFrame:
