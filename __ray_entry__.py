@@ -148,6 +148,12 @@ def _q_pattern_entities(sf_dir: str):
     return q_pattern_entities(sf_dir)
 
 
+def _q_distill_logits(sf_dir: str):
+    from kazu_ray.stages.distill import q_distill_logits
+
+    return q_distill_logits(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -455,6 +461,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parity incl. register replay is the profile_parity row of
         # approx_metrics.
         "profile": _q_profile,
+        # teacher->student distillation (TinyBERT final-layer soft-CE,
+        # reference kazu/distillation/models.py): the materialized
+        # soft-label dataset (teacher logits + frozen student features
+        # per corpus word).  The training-path bit-exactness and the
+        # student checkpoint's full-pipeline golden P/R are the
+        # distill_* rows of approx_metrics.
+        "distill_logits": _q_distill_logits,
     }
 
 

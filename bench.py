@@ -62,6 +62,30 @@ def _calibrate(seconds: float = 1.0) -> float:
     return round(n / (time.perf_counter() - t0), 0)
 
 
+# Calm-window reference for the normalization below: the busy-loop rate
+# measured on this box in a steal-free window (BENCH_r04 recorded
+# 3.98e6 ops/sec before the run started; repeated calm samples sit at
+# 3.9-4.0e6).  Queries are normalized by (sample/CALM_OPS_REF), so a
+# query timed during a steal window (low sample) reports a smaller
+# normalized time — per-query numbers become window-comparable across
+# rounds without BASELINE.md forensics (round-4 verdict item #6).
+CALM_OPS_REF = float(os.environ.get("GRAFT_CALM_OPS", "3.98e6"))
+
+
+def _timed_calibrated(fn, repeats: int = 2):
+    """(raw_best, normalized_best, sample_ops): interleaves a short
+    calibration sample with each repeat and normalizes each run by its
+    own sample; best (min) of each series is reported."""
+    raws, norms, samples = [], [], []
+    for _ in range(repeats):
+        ops = _calibrate(0.25)
+        t = _timed(fn)
+        raws.append(t)
+        norms.append(t * min(1.0, ops / CALM_OPS_REF))
+        samples.append(ops)
+    return min(raws), round(min(norms), 3), samples
+
+
 def run_bench() -> dict:
     import ray
     import ray.data as rd
@@ -119,7 +143,11 @@ def run_bench() -> dict:
 
     # best-of-2: the sandbox host shows multi-second run-to-run noise
     # (hypervisor steal); min wall is the stable estimator
-    headline = min(_timed(kg), _timed(kg))
+    queries_normalized: dict = {}
+    calibration_samples: list = []
+    headline, headline_norm, hsamples = _timed_calibrated(kg)
+    queries_normalized["kg_pipeline"] = headline_norm
+    calibration_samples.extend(hsamples)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
         result = {
@@ -150,11 +178,16 @@ def run_bench() -> dict:
                  "decontaminate", "range_join", "events_sliding",
                  "json_props", "bpe_token_count", "pii_scan",
                  "label_centroids",
-                 # round-4 addition: C4-style global keep-first chunk
-                 # dedup (two byte-scaled exchanges over the corpus)
+                 # round-5 note: chunk_dedup is the HASH-ONLY exchange
+                 # rebuild (keys-only classification + broadcast verdict)
                  "chunk_dedup"):
         try:
-            queries[name] = _timed_min(lambda n=name: q[n](SF_DIR).count())
+            raw, norm, samples = _timed_calibrated(
+                lambda n=name: q[n](SF_DIR).count()
+            )
+            queries[name] = raw
+            queries_normalized[name] = norm
+            calibration_samples.extend(samples)
         except Exception as exc:  # record, don't die
             queries[name] = f"error: {exc}"
 
@@ -172,8 +205,12 @@ def run_bench() -> dict:
         cfg = PipelineConfig.from_group(
             "full", concurrency=pool, transformer_tagger=TINY_BERT_NER
         )
-        t_tr = _timed_min(lambda: build_pipeline(tdocs, dicts, cfg).count())
+        t_tr, t_tr_norm, tsamples = _timed_calibrated(
+            lambda: build_pipeline(tdocs, dicts, cfg).count()
+        )
         queries["transformer_annotate"] = t_tr
+        queries_normalized["transformer_annotate"] = t_tr_norm
+        calibration_samples.extend(tsamples)
         queries["transformer_docs_per_sec"] = (
             round(n_tdocs / t_tr, 1) if t_tr else None
         )
@@ -191,7 +228,10 @@ def run_bench() -> dict:
             with tempfile.TemporaryDirectory() as td:
                 compile_dictionaries(td, source_df=big)
 
-        queries["dict_compile_100k_rows"] = _timed_min(compile_once)
+        raw, norm, samples = _timed_calibrated(compile_once)
+        queries["dict_compile_100k_rows"] = raw
+        queries_normalized["dict_compile_100k_rows"] = norm
+        calibration_samples.extend(samples)
 
     result = {
         "metric": "kg_pipeline_sec_sf" + SF_DIR.rsplit("sf", 1)[-1],
@@ -205,6 +245,12 @@ def run_bench() -> dict:
         # host-noise probes: a steal-heavy window shows up as a large
         # before/after spread or a low absolute value (calm ~= equal)
         "calibration_ops_per_sec": [calib_before, _calibrate()],
+        # window-comparable per-query numbers: each query's best run
+        # scaled by its own interleaved calibration sample / CALM_OPS_REF
+        # (clamped at 1.0 — a calm window reports raw = normalized)
+        "queries_normalized": queries_normalized,
+        "calm_ops_ref": CALM_OPS_REF,
+        "calibration_samples_ops_per_sec": [round(s) for s in calibration_samples],
     }
     ray.shutdown()
     return result

@@ -1444,6 +1444,30 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("profile_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     from .kmeans import q_kmeans_equivalence
 
+    from ..stages.distill import q_distill_gate
+
+    m = q_distill_gate(sf_dir).iloc[0]
+    add(
+        "distill_path_equal",
+        1.0 if m["path_max_err"] == 0.0 else 0.0,
+        1.0,
+        m["path_max_err"] == 0.0,
+    )
+    add("distill_agreement", m["agreement"], 0.999, m["agreement"] >= 0.999)
+    # student >= teacher - eps on the golden docs (the teacher's own
+    # transformer_eval gate pins P = R = 1.0; eps = 0.02)
+    add(
+        "distill_student_precision",
+        m["student_precision"],
+        0.98,
+        m["student_precision"] >= 0.98,
+    )
+    add(
+        "distill_student_recall",
+        m["student_recall"],
+        0.98,
+        m["student_recall"] >= 0.98,
+    )
     m = q_punkt_gate(sf_dir).iloc[0]
     add("punkt_boundary_f1", m["f1"], m["gate"], m["passes"])
     m = q_dsir_parity(sf_dir).iloc[0]

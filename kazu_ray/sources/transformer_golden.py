@@ -51,18 +51,22 @@ def transformer_golden_table() -> pa.Table:
     return pcsv.read_csv(os.path.join(_GOLDEN_DIR, "transformer_golden.csv"))
 
 
-def run_transformer_golden(dicts, concurrency: int = 1):
-    """Full-group pipeline (real checkpoint) over the fixture docs."""
+def run_transformer_golden(dicts, concurrency: int = 1, transformer_tagger: str | None = None):
+    """Full-group pipeline over the fixture docs.  The tagger defaults
+    to the trained teacher checkpoint; the distillation gate passes the
+    exported STUDENT checkpoint dir to run the identical pipeline."""
     from ..assets import TINY_BERT_NER
     from ..pipelines.config import PipelineConfig, build
 
     cfg = PipelineConfig.from_group(
-        "full", concurrency=concurrency, transformer_tagger=TINY_BERT_NER
+        "full",
+        concurrency=concurrency,
+        transformer_tagger=transformer_tagger or TINY_BERT_NER,
     )
     return build(transformer_golden_docs(), dicts, cfg)
 
 
-def evaluate_transformer_golden(dicts):
+def evaluate_transformer_golden(dicts, transformer_tagger: str | None = None):
     """P/R of the real-checkpoint pipeline vs the frozen golden.
 
     Keyed on (doc_id, match, entity_class, start, end, mapping_id) —
@@ -70,7 +74,9 @@ def evaluate_transformer_golden(dicts):
     import pandas as pd
 
     got = set()
-    for row in run_transformer_golden(dicts).take_all():
+    for row in run_transformer_golden(
+        dicts, transformer_tagger=transformer_tagger
+    ).take_all():
         for e in row["entities"]:
             ids = sorted({m["idx"] for m in e["mappings"]}) or [""]
             for idx in ids:

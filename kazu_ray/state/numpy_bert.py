@@ -98,6 +98,25 @@ class NumpyBert:
         if "classifier.weight" in sd:
             self.classifier = (sd["classifier.weight"], sd.get("classifier.bias"))
 
+    @classmethod
+    def from_components(cls, cfg: dict, sd: dict) -> "NumpyBert":
+        """Construct from an in-memory config dict + state dict (no
+        files) — used by the distillation stage to run a seeded student
+        body before any checkpoint is exported."""
+        self = cls.__new__(cls)
+        self.n_layers = cfg["num_hidden_layers"]
+        self.n_heads = cfg["num_attention_heads"]
+        self.hidden = cfg["hidden_size"]
+        self.eps = cfg.get("layer_norm_eps", 1e-12)
+        self.max_pos = cfg.get("max_position_embeddings", 512)
+        self.sd = {
+            (k[5:] if k.startswith("bert.") else k): v for k, v in sd.items()
+        }
+        self.classifier = None
+        if "classifier.weight" in sd:
+            self.classifier = (sd["classifier.weight"], sd.get("classifier.bias"))
+        return self
+
     def _p(self, name: str) -> np.ndarray:
         return self.sd[name]
 
