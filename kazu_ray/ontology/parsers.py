@@ -14,11 +14,13 @@ Format semantics mirror the reference parsers (cited per class):
   kazu/ontology_preprocessing/parsers.py:1440-1506
 - :class:`MondoJsonParser` (OBO-JSON) — parsers.py:897-950
 - :class:`OboFlatParser` (Cellosaurus-style OBO) — parsers.py:1115-1195
-- :class:`RdfParser` / :class:`SkosXlParser` (Turtle/RDF) —
-  parsers.py:453-608, 611-660.  rdflib is not installed in this
-  container, so a minimal self-contained Turtle subset reader
-  (:func:`parse_turtle`) backs them; if rdflib IS importable it is used
-  instead, so real .owl/.xml files work wherever the dependency exists.
+- :class:`RdfParser` / :class:`SkosXlParser` (Turtle / N-Triples /
+  RDF/XML) — parsers.py:453-608, 611-660.  rdflib is not installed in
+  this container, so self-contained subset readers back them
+  (:func:`parse_turtle`, :func:`parse_ntriples`, :func:`parse_rdf_xml`,
+  dispatched by :func:`parse_rdf` on extension or explicit
+  ``rdf_format``); if rdflib IS importable it is used instead, so any
+  rdflib-supported serialization works wherever the dependency exists.
 - :class:`ChemblSqliteParser` — parsers.py:1051-1078 (stdlib sqlite3,
   same SQL over molecule_dictionary / molecule_synonyms)
 - :class:`MeddraParser` — parsers.py:1204-1330 ($-separated mdhier.asc
@@ -395,6 +397,132 @@ def _parse_with_rdflib(path: str) -> TripleStore:
     return store
 
 
+_NT_LINE = re.compile(
+    r"""^\s*
+    (?P<s><[^>]*>|_:[\w.-]+)\s+
+    (?P<p><[^>]*>)\s+
+    (?P<o><[^>]*>|_:[\w.-]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)
+    \s*\.\s*$""",
+    re.VERBOSE,
+)
+
+
+def parse_ntriples(path: str) -> TripleStore:
+    """Self-contained N-Triples reader (one triple per line; IRIs,
+    blank nodes, string literals with optional @lang / ^^datatype —
+    tags swallowed like the turtle reader).  rdflib takes over when
+    importable, identical to :func:`parse_turtle`."""
+    try:
+        import rdflib  # noqa: F401
+
+        return _parse_with_rdflib(path)
+    except ImportError:
+        pass
+    store = TripleStore()
+    with open(path, encoding="utf-8-sig") as f:
+        for lineno, line in enumerate(f, 1):
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            m = _NT_LINE.match(line)
+            if not m:
+                raise ValueError(f"{path}:{lineno}: unparseable N-Triples line: {line[:60]!r}")
+
+            def term(t: str) -> str:
+                if t.startswith("<"):
+                    return t[1:-1]
+                if t.startswith("_:"):
+                    return t
+                lit = t[1 : t.rindex('"')]  # strip quotes + any @lang/^^dtype tail
+                return _decode_ttl_escapes(lit)
+
+            store.add(term(m.group("s")), term(m.group("p")), term(m.group("o")))
+    return store
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def parse_rdf_xml(path: str) -> TripleStore:
+    """Self-contained RDF/XML reader for the subset real OWL/RDF
+    exports use: rdf:Description and typed node elements (the element
+    name becomes an rdf:type triple), rdf:about / rdf:nodeID subjects,
+    property elements carrying rdf:resource IRIs, nested node
+    elements, or text literals (xml:lang / rdf:datatype swallowed).
+    rdf:parseType="Collection"/reification are outside the subset and
+    raise.  rdflib takes over when importable."""
+    try:
+        import rdflib  # noqa: F401
+
+        return _parse_with_rdflib(path)
+    except ImportError:
+        pass
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    store = TripleStore()
+    counter = [0]
+
+    def tag_iri(elem) -> str:
+        if not elem.tag.startswith("{"):
+            raise ValueError(f"{path}: un-namespaced element {elem.tag!r}")
+        ns, local = elem.tag[1:].split("}", 1)
+        return ns + local
+
+    def node(elem) -> str:
+        about = elem.get(f"{{{_RDF_NS}}}about")
+        node_id = elem.get(f"{{{_RDF_NS}}}nodeID")
+        if about is not None:
+            subj = about
+        elif node_id is not None:
+            subj = "_:" + node_id
+        else:
+            subj = f"_:genid{counter[0]}"
+            counter[0] += 1
+        t = tag_iri(elem)
+        if t != _RDF_NS + "Description":
+            store.add(subj, _RDF_TYPE, t)
+        for prop in elem:
+            pred = tag_iri(prop)
+            if prop.get(f"{{{_RDF_NS}}}parseType") is not None:
+                raise ValueError(
+                    f"{path}: rdf:parseType is outside the supported RDF/XML subset"
+                )
+            res = prop.get(f"{{{_RDF_NS}}}resource")
+            children = list(prop)
+            if res is not None:
+                store.add(subj, pred, res)
+            elif children:
+                for child in children:
+                    store.add(subj, pred, node(child))
+            else:
+                store.add(subj, pred, prop.text or "")
+        return subj
+
+    if tag_iri(root) == _RDF_NS + "RDF":
+        for child in root:
+            node(child)
+    else:
+        node(root)
+    return store
+
+
+def parse_rdf(path: str, rdf_format: str | None = None) -> TripleStore:
+    """Format-dispatching RDF reader: explicit ``rdf_format`` ("ttl" /
+    "nt" / "xml") or file-extension inference (.nt → N-Triples,
+    .rdf/.owl/.xml → RDF/XML, anything else → Turtle) — mirroring the
+    reference RDFGraphParser's rdflib format inference
+    (parsers.py:453-608)."""
+    fmt = rdf_format
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower()
+        fmt = {".nt": "nt", ".rdf": "xml", ".owl": "xml", ".xml": "xml"}.get(ext, "ttl")
+    if fmt == "nt":
+        return parse_ntriples(path)
+    if fmt == "xml":
+        return parse_rdf_xml(path)
+    return parse_turtle(path)
+
+
 class RdfParser:
     """Turtle/RDF ontology parser (reference RDFGraphParser,
     parsers.py:453-608): subjects matching ``uri_regex`` whose
@@ -411,6 +539,7 @@ class RdfParser:
         label_predicate=RDFS_LABEL,
         include_entity_patterns: tuple = (),
         exclude_entity_patterns: tuple = (),
+        rdf_format: str | None = None,
     ):
         self.in_path = in_path
         self.entity_class = entity_class
@@ -420,9 +549,11 @@ class RdfParser:
         self.label_predicate = label_predicate
         self.include_entity_patterns = include_entity_patterns
         self.exclude_entity_patterns = exclude_entity_patterns
+        # None = infer from extension (.nt / .rdf / .owl / .xml / .ttl)
+        self.rdf_format = rdf_format
 
     def parse_to_dataframe(self) -> pd.DataFrame:
-        store = parse_turtle(self.in_path)
+        store = parse_rdf(self.in_path, self.rdf_format)
         rows = []
         for sub, label in store.subject_objects(self.label_predicate):
             if not self._uri_regex.match(sub):

@@ -86,6 +86,76 @@ def test_rdf_parser_with_exclusion():
     assert sorted(kidney["syn"]) == ["kidney disease", "nephropathy", "renal disease"]
 
 
+def test_ntriples_and_rdfxml_match_turtle():
+    # the same graph serialized three ways parses to the same triples
+    from kazu_ray.ontology.parsers import parse_ntriples, parse_rdf, parse_rdf_xml
+
+    ttl = parse_turtle(os.path.join(FIX, "disease_sample.ttl"))
+    nt = parse_ntriples(os.path.join(FIX, "disease_sample.nt"))
+    xml = parse_rdf_xml(os.path.join(FIX, "disease_sample.rdf"))
+    assert nt.triples == ttl.triples
+    assert xml.triples == ttl.triples
+    # extension dispatch picks the right reader
+    assert parse_rdf(os.path.join(FIX, "disease_sample.nt")).triples == ttl.triples
+    assert parse_rdf(os.path.join(FIX, "disease_sample.rdf")).triples == ttl.triples
+
+
+def test_rdf_parser_same_frame_across_serializations():
+    # an arbitrary public ontology ingests identically from .ttl / .nt
+    # / .rdf through the same include/exclude pattern surface
+    frames = []
+    for fname in ("disease_sample.ttl", "disease_sample.nt", "disease_sample.rdf"):
+        p = RdfParser(
+            os.path.join(FIX, fname),
+            "disease",
+            "MONDO_ANY",
+            uri_regex=r"^http://purl\.obolibrary\.org/obo/MONDO_[0-9]+$",
+            exclude_entity_patterns=(
+                ("http://www.w3.org/2002/07/owl#deprecated", "true"),
+            ),
+        )
+        frames.append(
+            p.parse_to_dataframe()
+            .sort_values(["idx", "syn", "mapping_type"])
+            .reset_index(drop=True)
+        )
+    assert frames[0].equals(frames[1])
+    assert frames[0].equals(frames[2])
+    assert set(frames[0]["default_label"]) == {
+        "kidney disease",
+        "type 1 diabetes mellitus",
+    }
+
+
+def test_rdfxml_nested_and_bnode_subjects(tmp_path):
+    from kazu_ray.ontology.parsers import parse_rdf_xml
+
+    p = tmp_path / "nested.rdf"
+    p.write_text(
+        """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <ex:Thing rdf:about="http://example.org/a">
+    <ex:linksTo rdf:resource="http://example.org/b"/>
+    <ex:part>
+      <ex:Piece rdf:nodeID="p1">
+        <ex:name>inner</ex:name>
+      </ex:Piece>
+    </ex:part>
+  </ex:Thing>
+</rdf:RDF>"""
+    )
+    store = parse_rdf_xml(str(p))
+    assert ("http://example.org/a", "http://example.org/linksTo", "http://example.org/b") in store.triples
+    assert ("http://example.org/a", "http://example.org/part", "_:p1") in store.triples
+    assert ("_:p1", "http://example.org/name", "inner") in store.triples
+    assert (
+        "_:p1",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://example.org/Piece",
+    ) in store.triples
+
+
 def test_skosxl_parser_property_paths():
     p = SkosXlParser(
         os.path.join(FIX, "skos_sample.ttl"),
