@@ -20,11 +20,14 @@ stage:
 Pixel/sample decode is REAL for the pure-python-decodable formats:
 :func:`decode_png` (zlib inflate + PNG unfiltering per the spec §9,
 8-bit grayscale/RGB), :func:`decode_bmp` (uncompressed 8/24-bit, padded
-bottom-up rows), :func:`decode_wav_pcm` (16-bit PCM samples) — byte-level
-golden-tested, and :class:`MediaFeatureExtractor` computes its features
-from the DECODED pixels/samples for those formats.  Only codec-bound
-formats (JPEG entropy decode, GIF LZW, video codecs) remain behind the
-documented ``RealDecoder`` seam.
+bottom-up rows), :func:`decode_wav_pcm` (16-bit PCM samples), and —
+round 5 — baseline JPEG via :mod:`kazu_ray.extras.jpeg` (full T.81
+entropy decode: Huffman + dequant + IDCT + chroma upsample, with the
+synthetic corpus JPEGs now genuine encoder output, not filler scan
+bytes) — byte-level golden-tested, and :class:`MediaFeatureExtractor`
+computes its features from the DECODED pixels/samples for those
+formats.  Only GIF LZW and video codecs remain behind the documented
+``RealDecoder`` seam.
 """
 
 from __future__ import annotations
@@ -77,19 +80,22 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
-    """A header-valid JPEG (SOI + APP0/JFIF + SOF0 + seeded scan stub +
-    EOI).  The SOF0 frame header is genuine, so dimension parsing is
-    exercised for real; only entropy-coded data is filler."""
+    """A fully REAL baseline JPEG (round 5): a seeded smooth grayscale
+    pattern run through the pure-python encoder
+    (kazu_ray.extras.jpeg.encode_jpeg_baseline) — every segment
+    including the entropy-coded scan is genuine and decodable."""
+    from .jpeg import encode_jpeg_baseline
+
     rng = np.random.default_rng(seed)
-    app0_body = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    sof0_body = b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
-    return (
-        b"\xff\xd8"
-        + b"\xff\xe0" + struct.pack(">H", len(app0_body) + 2) + app0_body
-        + b"\xff\xc0" + struct.pack(">H", len(sof0_body) + 2) + sof0_body
-        + b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-        + bytes(b & 0xFE for b in rng.bytes(width * height // 8 + 1))
-        + b"\xff\xd9"
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    phase = rng.uniform(0, 2 * np.pi, 2)
+    img = (
+        128
+        + 60 * np.sin(xx / 7.0 + phase[0])
+        + 50 * np.cos(yy / 5.0 + phase[1])
+    )
+    return encode_jpeg_baseline(
+        np.clip(np.round(img), 0, 255).astype(np.uint8), quality=85
     )
 
 
@@ -263,13 +269,21 @@ def decode_wav_pcm(data: bytes) -> np.ndarray | None:
 
 def decode_media(data: bytes) -> np.ndarray | None:
     """Dispatch to whichever REAL pure-python decoder understands the
-    container; None when only a codec stack could decode it."""
+    container; None when only a codec stack could decode it (GIF LZW,
+    video)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:4] == b"RIFF":
         return decode_wav_pcm(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_baseline
+
+        try:
+            return decode_jpeg_baseline(data)
+        except ValueError:
+            return None  # progressive/extended frames stay a codec seam
     return None
 
 
@@ -331,9 +345,9 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
 
 class RealDecoder:
     """Placeholder for a codec-backed fetch+decode (PIL / torchvision /
-    ffmpeg) covering the entropy-coded formats (JPEG scan data, GIF LZW,
-    video codecs).  Not available in this container; PNG/BMP/WAV-PCM
-    decode IS real here via :func:`decode_media`."""
+    ffmpeg) covering the remaining codec-bound formats (GIF LZW, video
+    codecs).  Not available in this container; PNG/BMP/WAV-PCM AND
+    baseline JPEG decode IS real here via :func:`decode_media`."""
 
     def decode(self, media_ref: str) -> bytes:
         raise NotImplementedError(
