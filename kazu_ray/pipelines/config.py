@@ -44,6 +44,11 @@ class PipelineConfig:
     # (HF layout, loaded torch-lessly via state/numpy_bert.py).  The
     # repo ships one: kazu_ray.assets.TINY_BERT_NER.
     transformer_tagger: str = "mock"
+    # per-actor GPU reservation for the transformer step (the GPU seam:
+    # on a GPU cluster set e.g. 1.0 and size concurrency from
+    # ray.cluster_resources()["GPU"]; 0.0 = CPU-only pool, no
+    # reservation passed to map_batches)
+    transformer_num_gpus: float = 0.0
     # EntityRuler-style rules for the pattern_ner step:
     # {entity_class: [token-pattern or phrase string, ...]}
     pattern_rules: dict = field(default_factory=dict)
@@ -107,10 +112,13 @@ def build(docs_ds, dicts, config: PipelineConfig):
         elif step == "transformer_ner":
             from ..stages.transformer_ner import TransformerNer
 
+            tkw = dict(common)
+            if config.transformer_num_gpus > 0:
+                tkw["num_gpus"] = config.transformer_num_gpus
             ds = ds.map_batches(
                 TransformerNer,
                 fn_constructor_args=(config.transformer_tagger,),
-                **common,
+                **tkw,
             )
         elif step == "linking":
             from ..constants import NS_DICT_NER
