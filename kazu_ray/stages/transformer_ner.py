@@ -187,12 +187,24 @@ _CONJ_SPLIT = re.compile(r"\s*,\s*(?:(?:and|or|nor)\s+)?|\s+(?:and|or|nor)\s+")
 
 
 def split_conjunction(match: str) -> list[str]:
-    """Rule-based conjunction split (reference SplitOnConjunctionPattern,
+    """Conjunction split (reference SplitOnConjunctionPattern,
     entity_post_processing.py:29-93 — spacy noun-chunk version): the
     last conjunct phrase anchors the shared head noun, e.g.
     "skin, lung and breast cancer" -> ["breast cancer", "skin cancer",
     "lung cancer"].  Returns [] when no conjunction or no multiword
-    anchor to borrow a head noun from."""
+    anchor to borrow a head noun from.
+
+    Round 5: the LEARNED POS chunker (functions/pos_chunker.py, trained
+    perceptron tagger) takes precedence when its asset is shipped — it
+    keeps these rule semantics for flat nominal coordination, VETOES
+    non-nominal shapes (verbal/clausal coordination no longer
+    distributes a bogus head), and adds head-FIRST "H of the A and B"
+    coordination.  This string rule remains the asset-less fallback."""
+    from ..functions.pos_chunker import split_conjunction_tagged
+
+    tagged = split_conjunction_tagged(match)
+    if tagged is not None:
+        return tagged
     if not any(f" {w} " in match for w in _CONJ_WORDS):
         return []
     items = [x for x in _CONJ_SPLIT.split(match) if x]

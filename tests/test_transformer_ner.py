@@ -211,14 +211,14 @@ def test_split_conjunction_oxford_comma():
 
 # ---- property tests over generated "X and Y Z" noun-phrase families
 # (VERDICT r3 item #10).  Deviation note vs the reference's scispacy
-# dep-parse (entity_post_processing.py:29-93): the rule engine anchors
-# the shared head noun on the LAST conjunct's final word, which covers
-# flat noun-phrase coordination ("skin, lung and breast cancer", with
-# arbitrarily long modifier chains and Oxford commas) but not (a)
-# head-FIRST coordination ("cancer of the skin and lung"), (b) anchors
-# whose final word is not the head ("breast cancer patients" would
-# distribute "patients"), or (c) scope ambiguity needing a parse tree.
-# Those require a dependency parse and stay out of rule scope.
+# dep-parse (entity_post_processing.py:29-93), SHRUNK in round 5 by the
+# learned POS chunker (functions/pos_chunker.py + test_pos_chunker.py):
+# (a) head-FIRST coordination ("cancer of the skin and lung") is now
+# COVERED (its own property family), and verbal/clausal coordination no
+# longer false-splits (lexical+morphology veto).  Still out of scope
+# without a true dependency parse: (b) anchors whose final noun is not
+# the semantic head ("breast cancer patients" distributes "patients"),
+# and (c) attachment/scope ambiguity.
 
 _WORDS = ["skin", "lung", "breast", "gastric", "renal", "hepatic",
           "ovarian", "triple", "negative", "ductal"]
