@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_doc_token_stats,
         q_json_props,
         q_langid_counts,
+        q_tfidf_keywords,
         q_token_topk,
     )
     from kazu_ray.relational import (
@@ -335,9 +336,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         # mergeable quantile sketch (KLL-flavoured weighted centroids)
         "price_quantiles": q_price_quantiles,
-        # --- multimodal plumbing (rows-only; decode is stubbed)
+        # per-doc top-k TF-IDF keywords (exact oracle incl. ln-scores:
+        # same libm, ties only at equal (tf, df), half-away rounding)
+        "tfidf_keywords": q_tfidf_keywords,
+        # --- multimodal plumbing (rows-only; decode now REAL for
+        # PNG/BMP/WAV + baseline JPEG)
         "media_features": q_media_features,
-        "media_metadata": q_media_metadata,  # real header parse over synthetic PNGs
         # the failing rows of the consolidated gate surface, pinned to
         # ZERO rows by an explicit SQL oracle — a broken gate flips
         # rows_match in the driver file, not just pytest.  Shares
@@ -356,11 +360,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # budget.
         "transformer_eval": _transformer_eval,
         "approx_metrics": q_approx_metrics,
-        # Past the driver's 50-query budget: video_frames moved here in
-        # round 5 to make room for gates_failing — its frame extraction
-        # stays byte-level pytest-gated (test_multimodal) and its sibling
-        # media queries remain recorded.
+        # Past the driver's 50-query budget: video_frames + media_metadata
+        # moved here in round 5 to make room for gates_failing and the
+        # oracle-checked tfidf_keywords — frame extraction and header
+        # parsing stay byte-level pytest-gated (test_multimodal,
+        # test_jpeg).
         "video_frames": q_video_frames,
+        "media_metadata": q_media_metadata,
         # Past the driver's 50-query budget: data surfaces for the
         # clustering operators; their correctness gates
         # (kmeans_assign_equal_frac, kmeans_centroid_max_err,
@@ -484,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.text_analysis import (
         bpe_token_count_oracle_sql,
         json_props_oracle_sql,
+        tfidf_keywords_oracle_sql,
     )
     from kazu_ray.extras.quality import (
         lm_perplexity_oracle_sql,
@@ -502,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # every quality gate passes -> zero failing rows, pinned by SQL
         "gates_failing": gates_failing_oracle_sql(),
+        "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

@@ -236,3 +236,147 @@ def json_props_oracle_sql() -> str:
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# --------------------------------------------------------- TF-IDF keywords
+
+_TFIDF_WORD_RE = r"[a-z0-9]+"
+TFIDF_TOP_K = 5
+
+TFIDF_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("term", pa.string()),
+        ("tf", pa.int64()),
+        ("score", pa.float64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+def tfidf_keywords(docs_ds, k: int = TFIDF_TOP_K, num_partitions: int | None = None):
+    """Per-document top-k keywords by tf·idf (idf = ln(N/df), raw term
+    frequency — the classic salience score behind keyword extraction
+    and CCNet-style domain filtering), exactly replayed by one DuckDB
+    query (``tfidf_keywords_oracle_sql``).
+
+    Two-exchange shape (the rare_tokens pattern, quality.py:337-420):
+    a per-batch combiner reduces token occurrences to one
+    (doc_id, term, tf) row per distinct pair (documents are whole rows,
+    so tf is exact within the batch); the hash(term) exchange
+    co-locates every row of a term, so df(term) is the partition-local
+    row count — no DF side table, no join; scored rows then cross a
+    doc-keyed exchange where the per-doc top-k (score DESC, term ASC —
+    a total order, see below) is taken in-partition.  N (corpus doc
+    count) is the one piece of global state, broadcast as a scalar.
+
+    Cross-engine determinism: scores tie at double precision only for
+    equal (tf, df) pairs — then the term ASC tie-break decides on both
+    engines; ln() is the host libm in polars/numpy and DuckDB alike.
+    Reported scores round half-away (functions/rounding.py) to match
+    SQL ROUND."""
+    import numpy as np
+    import polars as pl
+
+    from ..context import shuffle_partitions as _sp
+    from ..functions.rounding import round_half_away
+
+    nparts = num_partitions or _sp()
+    n_docs = docs_ds.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch.select(["doc_id", "text"]))
+            .with_columns(ws=pl.col("text").str.to_lowercase().str.extract_all(_TFIDF_WORD_RE))
+            .select("doc_id", "ws")
+            .explode("ws")
+            .drop_nulls("ws")
+            .rename({"ws": "term"})
+            .group_by("doc_id", "term")
+            .agg(tf=pl.len().cast(pl.Int64))
+            .with_columns(part=(pl.col("term").hash(seed=11) % nparts).cast(pl.Int64))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("term", pa.string()),
+                 ("tf", pa.int64()), ("part", pa.int64())]
+            )
+        )
+
+    def score_part(group) -> "object":
+        df = pl.from_pandas(group[["doc_id", "term", "tf"]])
+        out = (
+            df.with_columns(df_=pl.len().over("term").cast(pl.Float64))
+            .with_columns(
+                score=pl.col("tf").cast(pl.Float64)
+                * (float(n_docs) / pl.col("df_")).log()
+            )
+            .select("doc_id", "term", "tf", "score")
+            .with_columns(
+                dpart=(pl.col("doc_id").hash(seed=17) % nparts).cast(pl.Int64)
+            )
+        )
+        return out.to_pandas()
+
+    def topk_part(group) -> "object":
+        df = pl.from_pandas(group[["doc_id", "term", "tf", "score"]])
+        out = (
+            df.sort(
+                ["doc_id", "score", "term"], descending=[False, True, False]
+            )
+            .with_columns(
+                rank=(pl.int_range(pl.len()).over("doc_id") + 1).cast(pl.Int64)
+            )
+            .filter(pl.col("rank") <= k)
+        )
+        pdf = out.to_pandas()
+        pdf["score"] = [round_half_away(s, 6) for s in pdf["score"]]
+        return pdf[["doc_id", "term", "tf", "score", "rank"]]
+
+    return (
+        docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(score_part, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(topk_part, batch_format="pandas")
+    )
+
+
+def q_tfidf_keywords(sf_dir: str, k: int = TFIDF_TOP_K):
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    nparts = shuffle_partitions(estimated_bytes=input_bytes(path) * 2)
+    return tfidf_keywords(ds, k=k, num_partitions=nparts).sort(["doc_id", "rank"])
+
+
+def tfidf_keywords_oracle_sql(k: int = TFIDF_TOP_K) -> str:
+    """Same regex, same ln(N/df) weighting, same (score DESC, term ASC)
+    total order, same half-away 6dp rounding."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{_TFIDF_WORD_RE}')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS s
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, term, tf, s,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, term ASC
+                 ) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               ROUND(s, 6) AS score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY doc_id, rank
+    """
