@@ -554,14 +554,21 @@ _DICTS_CACHE: list = []
 
 
 def _compiled_dicts():
-    """Compile the synthetic ontology side tables once per process
-    (same artifact dir as the driver entry module's memo, so the two
-    share the on-disk compile)."""
+    """Side tables for the golden-pipeline eval: reuse the driver entry
+    module's per-process memo when it is loaded (no recompile, and no
+    rewrite of artifact files other queries may still reference);
+    otherwise compile once into a distill-private tempdir."""
     if not _DICTS_CACHE:
-        from ..ontology.compile import compile_dictionaries
+        import sys
 
-        out = os.path.join(tempfile.gettempdir(), "kazu_ray_dicts")
-        _DICTS_CACHE.append(compile_dictionaries(out))
+        entry = sys.modules.get("__ray_entry__")
+        if entry is not None and hasattr(entry, "_dicts"):
+            _DICTS_CACHE.append(entry._dicts())
+        else:
+            from ..ontology.compile import compile_dictionaries
+
+            out = os.path.join(tempfile.gettempdir(), "kazu_ray_dicts_distill")
+            _DICTS_CACHE.append(compile_dictionaries(out))
     return _DICTS_CACHE[0]
 
 
