@@ -26,8 +26,12 @@ entropy decode: Huffman + dequant + IDCT + chroma upsample, with the
 synthetic corpus JPEGs now genuine encoder output, not filler scan
 bytes) — byte-level golden-tested, and :class:`MediaFeatureExtractor`
 computes its features from the DECODED pixels/samples for those
-formats.  Only GIF LZW and video codecs remain behind the documented
-``RealDecoder`` seam.
+formats — plus, closing the round-4 codec seam entirely: GIF via a real
+LZW codec (:mod:`kazu_ray.extras.gif`) and video via Motion-JPEG in a
+RIFF-AVI container (:mod:`kazu_ray.extras.avi`, frames entropy-decoded
+through the JPEG decoder, sampled frames only).  The remaining
+``RealDecoder`` seam is now only exotic codecs a cluster would install
+(progressive JPEG, H.26x, vorbis).
 """
 
 from __future__ import annotations
@@ -100,14 +104,16 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def make_gif(width: int, height: int, seed: int = 0) -> bytes:
-    """A minimal valid GIF89a (logical screen descriptor + 2-entry global
-    palette + image descriptor + LZW-stub data + trailer)."""
+    """A fully REAL GIF89a (round 5): seeded pixel indices over a
+    256-entry grayscale palette, compressed with genuine LZW
+    (kazu_ray.extras.gif.lzw_encode) — decodable bit-exactly by
+    :func:`kazu_ray.extras.gif.decode_gif`."""
+    from .gif import make_gif_image
+
     rng = np.random.default_rng(seed)
-    screen = struct.pack("<HH", width, height) + b"\x80\x00\x00"
-    palette = bytes(rng.bytes(6))
-    img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    data = b"\x02\x02\x4c\x01\x00"  # min LZW code size 2, one tiny block
-    return b"GIF89a" + screen + palette + img_desc + data + b"\x3b"
+    pixels = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    palette = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    return make_gif_image(pixels, palette)
 
 
 def make_wav(
@@ -269,14 +275,19 @@ def decode_wav_pcm(data: bytes) -> np.ndarray | None:
 
 def decode_media(data: bytes) -> np.ndarray | None:
     """Dispatch to whichever REAL pure-python decoder understands the
-    container; None when only a codec stack could decode it (GIF LZW,
-    video)."""
+    container; None only for containers without a single-array reading
+    (multi-frame AVI video goes through :class:`VideoFrameSampler`
+    instead) or frame types outside the baseline codecs."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:4] == b"RIFF":
-        return decode_wav_pcm(data)
+        return decode_wav_pcm(data)  # None for RIFF-AVI (multi-frame)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(data)
     if data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_baseline
 
@@ -345,9 +356,11 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
 
 class RealDecoder:
     """Placeholder for a codec-backed fetch+decode (PIL / torchvision /
-    ffmpeg) covering the remaining codec-bound formats (GIF LZW, video
-    codecs).  Not available in this container; PNG/BMP/WAV-PCM AND
-    baseline JPEG decode IS real here via :func:`decode_media`."""
+    ffmpeg) covering formats outside the pure-python codecs (progressive
+    JPEG, H.26x video, compressed audio).  Not available in this
+    container; PNG/BMP/WAV-PCM/GIF, baseline JPEG AND MJPEG-AVI video
+    decode IS real here via :func:`decode_media` /
+    :class:`VideoFrameSampler`."""
 
     def decode(self, media_ref: str) -> bytes:
         raise NotImplementedError(
@@ -363,9 +376,9 @@ class FakeDecoder:
     """Deterministic media fetch stand-in keyed by (media_ref, kind):
     image refs yield container-valid image bytes rotating over
     PNG / JPEG / GIF / BMP by ref hash (so all four real header-parse
-    branches — and the real PNG/BMP pixel-decode paths — are exercised
-    end-to-end, seeded dims 16-128), video refs a fixed-frame-size byte
-    stream, everything else seeded raw bytes."""
+    AND pixel-decode branches are exercised end-to-end, seeded dims
+    16-128), video refs a real seeded MJPEG AVI, everything else seeded
+    raw bytes."""
 
     def decode(self, media_ref: str, kind: str = "blob") -> bytes:
         seed = int.from_bytes(
@@ -378,8 +391,12 @@ class FakeDecoder:
             maker = (make_png, make_jpeg, make_gif, make_bmp)[seed % 4]
             return maker(w, h, seed=seed)
         if kind == "video":
+            from .avi import make_avi_mjpeg
+
             n_frames = 8 + int(rng.integers(0, 25))
-            return rng.bytes(FRAME_BYTES * n_frames)
+            w = 16 + 8 * int(rng.integers(0, 5))
+            h = 16 + 8 * int(rng.integers(0, 5))
+            return make_avi_mjpeg(w, h, n_frames, seed=seed)
         if kind == "audio":
             rate = (8000, 16000, 44100)[seed % 3]
             channels = 1 + int(rng.integers(0, 2))
@@ -398,8 +415,8 @@ class MediaFeatureExtractor:
 
     def _features(self, payload: bytes) -> list[float]:
         """Feature vector from REAL decoded pixels/samples when the
-        container is pure-python-decodable (PNG/BMP/WAV-PCM), else from
-        the raw container bytes (codec-bound formats)."""
+        container is pure-python-decodable (PNG/BMP/WAV-PCM/GIF/JPEG),
+        else from the raw container bytes (codec-bound formats)."""
         decoded = decode_media(payload)
         if decoded is not None:
             arr = decoded.astype(np.float32).ravel()
@@ -472,16 +489,25 @@ class MediaMetadataExtractor:
                 payload = self.decoder.decode(sp["media_ref"], sp["kind"])
                 img = parse_image_header(payload)
                 aud = None if img else parse_audio_header(payload)
+                vid = None
+                if not img and not aud:
+                    from .avi import parse_avi_header
+
+                    vid = parse_avi_header(payload)
                 cols["doc_id"].append(doc_id)
                 cols["span_idx"].append(i)
                 cols["kind"].append(sp["kind"])
                 cols["media_ref"].append(sp["media_ref"])
-                cols["format"].append(img[0] if img else aud[0] if aud else "")
-                cols["width"].append(img[1] if img else -1)
-                cols["height"].append(img[2] if img else -1)
+                cols["format"].append(
+                    img[0] if img else aud[0] if aud else "avi" if vid else ""
+                )
+                cols["width"].append(img[1] if img else vid[1] if vid else -1)
+                cols["height"].append(img[2] if img else vid[2] if vid else -1)
                 cols["sample_rate"].append(aud[1] if aud else -1)
                 cols["channels"].append(aud[2] if aud else -1)
-                cols["duration_ms"].append(aud[3] if aud else -1)
+                cols["duration_ms"].append(
+                    aud[3] if aud else vid[3] * vid[4] // 1000 if vid else -1
+                )
                 cols["n_bytes"].append(len(payload))
         return pa.Table.from_pydict(cols, schema=MEDIA_METADATA_SCHEMA)
 
@@ -507,7 +533,17 @@ class VideoFrameSampler:
         self.stride = stride
         self.decoder = FakeDecoder() if decoder == "fake" else RealDecoder()
 
+    def _emit(self, cols, doc_id, i, ref, frame_no, arr: np.ndarray) -> None:
+        chunks = np.array_split(arr.astype(np.float32).ravel(), FEATURE_DIM)
+        cols["doc_id"].append(doc_id)
+        cols["span_idx"].append(i)
+        cols["media_ref"].append(ref)
+        cols["frame_no"].append(frame_no)
+        cols["feature"].append([float(round(c.mean() / 255.0, 6)) for c in chunks])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .avi import decode_avi_frame, is_avi, iter_avi_frames
+
         cols: dict[str, list] = {k: [] for k in FRAME_SAMPLE_SCHEMA.names}
         for doc_id, spans in zip(
             batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
@@ -516,17 +552,25 @@ class VideoFrameSampler:
                 if sp["kind"] != "video" or not sp["media_ref"]:
                     continue
                 payload = self.decoder.decode(sp["media_ref"], "video")
+                if is_avi(payload):
+                    # header-only chunk walk; entropy-decode ONLY the
+                    # sampled frames (the 100-TB access pattern: seek
+                    # cost O(frames), decode cost O(frames / stride))
+                    for f, chunk in enumerate(iter_avi_frames(payload)):
+                        if f % self.stride:
+                            continue
+                        self._emit(
+                            cols, doc_id, i, sp["media_ref"], f,
+                            decode_avi_frame(chunk),
+                        )
+                    continue
+                # raw fixed-size-frame byte stream (codec-bound formats)
                 n_frames = len(payload) // FRAME_BYTES
                 for f in range(0, n_frames, self.stride):
                     frame = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
-                    arr = np.frombuffer(frame, dtype=np.uint8).astype(np.float32)
-                    chunks = np.array_split(arr, FEATURE_DIM)
-                    cols["doc_id"].append(doc_id)
-                    cols["span_idx"].append(i)
-                    cols["media_ref"].append(sp["media_ref"])
-                    cols["frame_no"].append(f)
-                    cols["feature"].append(
-                        [float(round(c.mean() / 255.0, 6)) for c in chunks]
+                    self._emit(
+                        cols, doc_id, i, sp["media_ref"], f,
+                        np.frombuffer(frame, dtype=np.uint8),
                     )
         return pa.Table.from_pydict(cols, schema=FRAME_SAMPLE_SCHEMA)
 

@@ -62,7 +62,10 @@ def test_fake_decoder_kinds():
     }
     assert fmts == {"png", "jpeg", "gif", "bmp"}
     vid = d.decode("media://1/3", "video")
-    assert len(vid) % FRAME_BYTES == 0 and len(vid) >= 8 * FRAME_BYTES
+    from kazu_ray.extras.avi import is_avi, parse_avi_header
+
+    assert is_avi(vid)
+    assert 8 <= parse_avi_header(vid)[3] <= 32  # seeded frame count
     # audio refs yield valid RIFF/WAV
     from kazu_ray.extras.multimodal import parse_audio_header
 
@@ -88,8 +91,12 @@ def test_media_metadata_query(ray_session):
     audio_formats = {k[1] for k in by_kind if k[0] == "audio"}
     assert audio_formats == {"wav"}
     assert by_kind[("audio", "wav")]["avg_duration_ms"] > 0
-    # video/blob kinds parse to no format
-    assert all(k[1] == "" for k in by_kind if k[0] not in ("image", "audio"))
+    # video kinds parse to real AVI metadata; blob kinds to no format
+    video_formats = {k[1] for k in by_kind if k[0] == "video"}
+    assert video_formats == {"avi"}
+    vid = by_kind[("video", "avi")]
+    assert 16 <= vid["avg_width"] <= 48 and vid["avg_duration_ms"] > 0
+    assert all(k[1] == "" for k in by_kind if k[0] not in ("image", "audio", "video"))
 
 
 def test_video_frames_query(ray_session):
