@@ -244,13 +244,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_tfidf_keywords,
         q_token_topk,
     )
+    from kazu_ray.extras.sampling import q_source_mix
     from kazu_ray.relational import (
         q_customer_order_join,
         q_customer_running_total,
         q_distinct_flags,
+        q_events_pivot,
         q_full_outer_join,
         q_events_hourly,
         q_lineitem_agg,
+        q_lineitem_rollup,
         q_orders_rank_per_group,
         q_orders_topk,
         q_part_semi_join,
@@ -268,9 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SETH-analogue regex mutation NER — SQL oracle runs the identical
         # RE2-safe pattern via regexp_extract_all (cross-engine parity)
         "mutation_mentions": _q_mutation_mentions,
-        # OPSIN-analogue IUPAC→SMILES resolution — not SQL-expressible
-        # (graph canonicalization); engine golden-pinned in pytest
-        "chem_smiles": _q_chem_smiles,
+        # (chem_smiles — OPSIN-analogue IUPAC→SMILES, not
+        # SQL-expressible — moved past the 50-query budget in round 5:
+        # its chem_exact_match_frac=1.0 gate stays driver-recorded via
+        # approx_metrics, freeing the slot for an oracle-checked query)
         # SpacyNerStep-analogue token-pattern NER — oracle runs equivalent
         # RE2 regexes (IN set / bigram / greedy one-or-more quantifier)
         "pattern_entities": _q_pattern_entities,
@@ -296,6 +300,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": q_json_props,
         # --- relational operator family (SQL oracles)
         "lineitem_agg": q_lineitem_agg,
+        # grouping sets: one-pass ROLLUP via per-batch multi-set
+        # partials + a single tiny merge groupby (exact oracle)
+        "lineitem_rollup": q_lineitem_rollup,
+        # pivot: per-user event-type counts widened in-batch (exact
+        # oracle via COUNT(*) FILTER per type)
+        "events_pivot": q_events_pivot,
         "orders_topk": q_orders_topk,
         "orders_rank_per_group": q_orders_rank_per_group,
         "events_hourly": q_events_hourly,
@@ -328,20 +338,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": q_neardup_components,  # exact oracle (LSH + recursive-CTE closure)
         # --- similarity search
         "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,  # rows-only (approximate by design)
-        # (q_lsh_topk stays a library operator + pytest subject; its
-        # recall gate is driver-recorded via approx_metrics lsh_recall,
-        # freeing this slot in the 50-query budget for pii_scan)
+        # (ivf_topk + price_quantiles — approximate by design — moved
+        # past the 50-query budget in round 5: their ivf_recall and
+        # quantile-error gates stay driver-recorded via approx_metrics,
+        # freeing two slots for oracle-checked queries; q_lsh_topk
+        # likewise stays a library operator behind lsh_recall)
         "pii_scan": q_pii_scan,
         "label_centroids": q_label_centroids,
-        # mergeable quantile sketch (KLL-flavoured weighted centroids)
-        "price_quantiles": q_price_quantiles,
+        # temperature-scaled source mixture weights (GPT-3-style data
+        # mixing; combiner counts, driver-bounded by distinct sources,
+        # exact oracle incl. pow/round)
+        "source_mix": q_source_mix,
         # per-doc top-k TF-IDF keywords (exact oracle incl. ln-scores:
         # same libm, ties only at equal (tf, df), half-away rounding)
         "tfidf_keywords": q_tfidf_keywords,
-        # --- multimodal plumbing (rows-only; decode now REAL for
-        # PNG/BMP/WAV + baseline JPEG)
-        "media_features": q_media_features,
+        # --- multimodal plumbing (rows-only; decode now REAL for every
+        # synthetic payload: PNG/BMP/WAV, baseline JPEG, GIF LZW, and
+        # MJPEG-AVI video — media_metadata recorded in-budget because
+        # its format/dims/duration columns evidence the real codecs)
+        "media_metadata": q_media_metadata,
         # the failing rows of the consolidated gate surface, pinned to
         # ZERO rows by an explicit SQL oracle — a broken gate flips
         # rows_match in the driver file, not just pytest.  Shares
@@ -360,13 +375,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # budget.
         "transformer_eval": _transformer_eval,
         "approx_metrics": q_approx_metrics,
-        # Past the driver's 50-query budget: video_frames + media_metadata
+        # Past the driver's 50-query budget: video_frames + media_features
         # moved here in round 5 to make room for gates_failing and the
-        # oracle-checked tfidf_keywords — frame extraction and header
-        # parsing stay byte-level pytest-gated (test_multimodal,
-        # test_jpeg).
+        # oracle-checked tfidf_keywords — frame extraction and feature
+        # plumbing stay byte-level pytest-gated (test_multimodal,
+        # test_jpeg, test_gif, test_avi).
         "video_frames": q_video_frames,
-        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        # Past the driver's 50-query budget (moved in round 5, gates
+        # stay driver-recorded via approx_metrics rows — see comments at
+        # their former in-budget slots above):
+        "chem_smiles": _q_chem_smiles,
+        "ivf_topk": q_ivf_topk,
+        "price_quantiles": q_price_quantiles,
         # Past the driver's 50-query budget: data surfaces for the
         # clustering operators; their correctness gates
         # (kmeans_assign_equal_frac, kmeans_centroid_max_err,
@@ -505,10 +526,18 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
     from kazu_ray.extras.metrics import gates_failing_oracle_sql
+    from kazu_ray.extras.sampling import source_mix_oracle_sql
+    from kazu_ray.relational import (
+        events_pivot_oracle_sql,
+        lineitem_rollup_oracle_sql,
+    )
 
     return {
         # every quality gate passes -> zero failing rows, pinned by SQL
         "gates_failing": gates_failing_oracle_sql(),
+        "lineitem_rollup": lineitem_rollup_oracle_sql(),
+        "events_pivot": events_pivot_oracle_sql(),
+        "source_mix": source_mix_oracle_sql(),
         "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

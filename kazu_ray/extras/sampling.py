@@ -256,3 +256,73 @@ def q_weighted_sample(sf_dir: str, n: int = 500):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     return weighted_sample_n(ds, n=n, weight_col="n_chars").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixture (GPT-3 / PaLM style data mixing)
+# ---------------------------------------------------------------------------
+
+
+def q_source_mix(sf_dir: str, alpha: float = 0.7, budget: int = 100_000):
+    """Per-source mixture weights w_s = n_s^alpha / sum(n^alpha) and the
+    expected per-source document budget — the temperature-scaled
+    multinomial mixing rule used to assemble LLM training sets (Brown
+    et al. 2020 §2.2 table 2.2; alpha < 1 up-weights small sources).
+
+    Distribution shape: a combiner-first count per source (per-batch
+    polars partial -> one small groupby), then the weight normalization
+    runs on the driver over the HANDFUL of source rows — bounded by the
+    number of distinct sources (domains), not documents.  At 100 TB the
+    exchange carries one row per (source, block).
+
+    Oracle: source_mix in __ray_entry__.oracle_sql (same pow/round;
+    n^alpha via the shared libm pow, weights rounded half-away at 6dp,
+    expected docs = ROUND(budget * w) as BIGINT)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    def partials(t):
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("source")
+            .agg(n_p=pl.len().cast(pl.Int64))
+            .to_arrow()
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+        .take_all()
+    )  # one row per distinct source — driver-bounded by construction
+    df = pd.DataFrame(counts).sort_values("source").reset_index(drop=True)
+    n = df["n_docs"].to_numpy(dtype="float64")
+    scaled = np.power(n, alpha)
+    w = scaled / scaled.sum()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["weight"] = [round_half_away(v, 6) for v in w]
+    df["expected_docs"] = [int(round_half_away(budget * v, 0)) for v in w]
+    return df[["source", "n_docs", "weight", "expected_docs"]]
+
+
+def source_mix_oracle_sql(alpha: float = 0.7, budget: int = 100_000) -> str:
+    return f"""
+        WITH s AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ),
+        t AS (SELECT SUM(POW(n_docs, {alpha})) AS tot FROM s)
+        SELECT source, n_docs,
+               ROUND(POW(n_docs, {alpha}) / t.tot, 6) AS weight,
+               CAST(ROUND({budget} * POW(n_docs, {alpha}) / t.tot, 0) AS BIGINT)
+                 AS expected_docs
+        FROM s, t
+        ORDER BY source
+    """

@@ -507,3 +507,158 @@ def full_outer_join_oracle_sql() -> str:
         FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
         ORDER BY c_custkey
     """
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in one corpus pass:
+    each batch emits partial rows for ALL THREE grouping sets (detail,
+    per-returnflag, grand total) with the rolled-up level marked by the
+    sentinel 'ALL' (the input columns are NULL-free, so the sentinel is
+    unambiguous and sidesteps NULL sort-order divergence between
+    engines), then ONE small groupby merges the partials — the
+    combiner-before-shuffle shape, so the exchange carries
+    O(groups x 3) rows regardless of corpus size.
+
+    Oracle: lineitem_rollup in __ray_entry__.oracle_sql (exact ROLLUP
+    with COALESCE to the same sentinel; sums of integer-valued
+    quantities are exact in float64, so partial-order-independent)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        sets = [
+            df.group_by("l_returnflag", "l_linestatus").agg(
+                qty_p=pl.col("l_quantity").sum(),
+                n_p=pl.len().cast(pl.Int64),
+            ),
+            df.group_by("l_returnflag").agg(
+                qty_p=pl.col("l_quantity").sum(),
+                n_p=pl.len().cast(pl.Int64),
+            ).with_columns(l_linestatus=pl.lit("ALL")),
+            df.select(
+                qty_p=pl.col("l_quantity").sum(),
+                n_p=pl.len().cast(pl.Int64),
+            ).with_columns(
+                l_returnflag=pl.lit("ALL"), l_linestatus=pl.lit("ALL")
+            ),
+        ]
+        out = pl.concat(
+            [s.select("l_returnflag", "l_linestatus", "qty_p", "n_p") for s in sets]
+        )
+        return out.to_arrow()
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_p", alias_name="sum_qty"),
+            Sum("n_p", alias_name="n_rows"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("sum_qty"), "sum_qty",
+            pc_round_sql(t["sum_qty"], 2),
+        )
+        return t.set_column(
+            t.schema.get_field_index("n_rows"), "n_rows",
+            t["n_rows"].cast(pa.int64()),
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def lineitem_rollup_oracle_sql() -> str:
+    return """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot: per-user event counts widened to one column per event
+    type + a total.  The pivot happens INSIDE each batch (polars
+    group_by + conditional sums -> one partial row per user per batch),
+    then one groupby sums partials — the wide shuffle carries one row
+    per (user, batch), never one per event.  Unknown future event
+    types would need a schema evolution pass; the type list is an
+    explicit operator parameter by design (same contract as SQL PIVOT
+    ... IN (...)).
+
+    Oracle: events_pivot in __ray_entry__.oracle_sql (COUNT(*) FILTER
+    per type — the canonical SQL pivot encoding)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        out = df.group_by("user_id").agg(
+            *[
+                (pl.col("event_type") == et).sum().cast(pl.Int64).alias(f"n_{et}")
+                for et in _EVENT_TYPES
+            ],
+            n_total=pl.len().cast(pl.Int64),
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"n_{et}", alias_name=f"n_{et}") for et in _EVENT_TYPES],
+            Sum("n_total", alias_name="n_total"),
+        )
+        .sort("user_id")
+        .map_batches(
+            lambda t: t.cast(
+                pa.schema(
+                    [("user_id", pa.int64())]
+                    + [(f"n_{et}", pa.int64()) for et in _EVENT_TYPES]
+                    + [("n_total", pa.int64())]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def events_pivot_oracle_sql() -> str:
+    per_type = ",\n               ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{et}') AS BIGINT) AS n_{et}"
+        for et in _EVENT_TYPES
+    )
+    return f"""
+        SELECT user_id,
+               {per_type},
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """
