@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_tfidf_keywords,
         q_token_topk,
     )
+    from kazu_ray.extras.lrfilter import q_lr_quality_scores
     from kazu_ray.extras.sampling import q_source_mix
     from kazu_ray.relational import (
         q_customer_order_join,
@@ -388,6 +389,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chem_smiles": _q_chem_smiles,
         "ivf_topk": q_ivf_topk,
         "price_quantiles": q_price_quantiles,
+        # GPT-3-style LR quality classifier: distributed full-batch GD
+        # over Gopher-signal features imitating the rule filter; its
+        # lr_fit_max_werr / lr_agreement / lr_train_accuracy gates are
+        # driver-recorded via approx_metrics.
+        "lr_quality_scores": q_lr_quality_scores,
         # Past the driver's 50-query budget: data surfaces for the
         # clustering operators; their correctness gates
         # (kmeans_assign_equal_frac, kmeans_centroid_max_err,

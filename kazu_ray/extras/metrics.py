@@ -1483,6 +1483,12 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     m = q_bpe_gate(sf_dir).iloc[0]
     add("bpe_fit_equal", 1.0 if m["fit_equal"] else 0.0, 1.0, m["fit_equal"])
     add("bpe_apply_equal_frac", m["apply_equal_frac"], 1.0, m["apply_equal_frac"] == 1.0)
+    from .lrfilter import q_lr_gate
+
+    m = q_lr_gate(sf_dir).iloc[0]
+    add("lr_fit_max_werr", m["max_werr"], 1e-6, m["max_werr"] <= 1e-6)
+    add("lr_agreement", m["agreement"], 0.999, m["agreement"] >= 0.999)
+    add("lr_train_accuracy", m["accuracy"], 0.9, m["accuracy"] >= 0.9)
     m = q_kmeans_equivalence(sf_dir).iloc[0]
     add("kmeans_assign_equal_frac", m["assign_equal_frac"], 1.0, m["passes"])
     add("kmeans_centroid_max_err", m["centroid_max_err"], 1e-9, m["centroid_max_err"] < 1e-9)
