@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_tfidf_keywords,
         q_token_topk,
     )
+    from kazu_ray.extras.exact_quantiles import q_orders_percentiles
     from kazu_ray.extras.lrfilter import q_lr_quality_scores
     from kazu_ray.extras.sampling import q_source_mix
     from kazu_ray.relational import (
@@ -394,6 +395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lr_fit_max_werr / lr_agreement / lr_train_accuracy gates are
         # driver-recorded via approx_metrics.
         "lr_quality_scores": q_lr_quality_scores,
+        # EXACT distributed order statistics (histogram bisection, no
+        # global sort); past-50 but its PERCENTILE_DISC oracle runs in
+        # tests/test_oracle_parity.py like every oracle entry.
+        "orders_percentiles": q_orders_percentiles,
         # Past the driver's 50-query budget: data surfaces for the
         # clustering operators; their correctness gates
         # (kmeans_assign_equal_frac, kmeans_centroid_max_err,
@@ -531,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.dedup import minhash_oracle_sql, simhash_oracle_sql
     from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
+    from kazu_ray.extras.exact_quantiles import orders_percentiles_oracle_sql
     from kazu_ray.extras.metrics import gates_failing_oracle_sql
     from kazu_ray.extras.sampling import source_mix_oracle_sql
     from kazu_ray.relational import (
@@ -544,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": lineitem_rollup_oracle_sql(),
         "events_pivot": events_pivot_oracle_sql(),
         "source_mix": source_mix_oracle_sql(),
+        "orders_percentiles": orders_percentiles_oracle_sql(),
         "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
