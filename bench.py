@@ -180,7 +180,11 @@ def run_bench() -> dict:
                  "label_centroids",
                  # round-5 note: chunk_dedup is the HASH-ONLY exchange
                  # rebuild (keys-only classification + broadcast verdict)
-                 "chunk_dedup"):
+                 "chunk_dedup",
+                 # round-5 additions: grouping sets / pivot / mixture /
+                 # exact order statistics / distributed LR classifier
+                 "lineitem_rollup", "events_pivot", "source_mix",
+                 "orders_percentiles", "lr_quality_scores"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()
