@@ -47,6 +47,22 @@ def _list(list_type: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", list_type + body)
 
 
+def avi_source_frames(width: int, height: int, n_frames: int, seed: int = 0):
+    """The seeded drifting source pattern each MJPEG frame is encoded
+    from — yielded as uint8 (height, width) arrays so decode gates can
+    compare sampled decoded frames against the pre-encode truth."""
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, 2)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    for f in range(n_frames):
+        img = (
+            128
+            + 55 * np.sin(xx / 6.0 + phase[0] + 0.35 * f)
+            + 45 * np.cos(yy / 5.0 + phase[1] + 0.22 * f)
+        )
+        yield np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def make_avi_mjpeg(
     width: int,
     height: int,
@@ -58,21 +74,10 @@ def make_avi_mjpeg(
     """A REAL single-stream MJPEG AVI: every '00dc' chunk is a genuine
     baseline JPEG of a seeded drifting pattern (so consecutive frames
     differ deterministically)."""
-    rng = np.random.default_rng(seed)
-    phase = rng.uniform(0, 2 * np.pi, 2)
-    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
-    frames = []
-    for f in range(n_frames):
-        img = (
-            128
-            + 55 * np.sin(xx / 6.0 + phase[0] + 0.35 * f)
-            + 45 * np.cos(yy / 5.0 + phase[1] + 0.22 * f)
-        )
-        frames.append(
-            encode_jpeg_baseline(
-                np.clip(np.round(img), 0, 255).astype(np.uint8), quality=quality
-            )
-        )
+    frames = [
+        encode_jpeg_baseline(img, quality=quality)
+        for img in avi_source_frames(width, height, n_frames, seed)
+    ]
     usec = 1_000_000 // fps
     avih = struct.pack(
         "<IIIIIIIIII4I",

@@ -1498,6 +1498,33 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         1.0,
         m["semdedup_kept_ok"] and m["semdedup_dropped_ok"],
     )
+    from .multimodal import (
+        AVI_MEAN_ABS_ERR,
+        JPEG_MEAN_ABS_ERR,
+        q_media_decode_gate,
+    )
+
+    m = q_media_decode_gate(sf_dir).iloc[0]
+    # gate "passes" additionally requires all 6 container formats
+    # observed, jpeg max-abs in envelope, and AVI frame-count parity
+    add(
+        "media_lossless_exact_frac",
+        m["lossless_exact_frac"],
+        1.0,
+        m["passes"] and m["lossless_exact_frac"] == 1.0,
+    )
+    add(
+        "media_jpeg_mean_abs_err",
+        m["jpeg_mean_abs_err"],
+        JPEG_MEAN_ABS_ERR,
+        m["passes"] and m["jpeg_mean_abs_err"] <= JPEG_MEAN_ABS_ERR,
+    )
+    add(
+        "media_video_mean_abs_err",
+        m["video_max_mean_err"],
+        AVI_MEAN_ABS_ERR,
+        m["passes"] and m["video_max_mean_err"] <= AVI_MEAN_ABS_ERR,
+    )
     out = pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
     _APPROX_CACHE[sf_dir] = out
     return out.copy()

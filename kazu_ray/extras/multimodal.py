@@ -83,13 +83,10 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
-def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
-    """A fully REAL baseline JPEG (round 5): a seeded smooth grayscale
-    pattern run through the pure-python encoder
-    (kazu_ray.extras.jpeg.encode_jpeg_baseline) — every segment
-    including the entropy-coded scan is genuine and decodable."""
-    from .jpeg import encode_jpeg_baseline
-
+def jpeg_source_image(width: int, height: int, seed: int = 0) -> np.ndarray:
+    """The seeded smooth grayscale source pattern a synthetic JPEG is
+    encoded from — exposed so decode gates can compare decoded pixels
+    against the pre-encode ground truth (lossy codec error envelope)."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
     phase = rng.uniform(0, 2 * np.pi, 2)
@@ -98,9 +95,17 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
         + 60 * np.sin(xx / 7.0 + phase[0])
         + 50 * np.cos(yy / 5.0 + phase[1])
     )
-    return encode_jpeg_baseline(
-        np.clip(np.round(img), 0, 255).astype(np.uint8), quality=85
-    )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """A fully REAL baseline JPEG (round 5): a seeded smooth grayscale
+    pattern run through the pure-python encoder
+    (kazu_ray.extras.jpeg.encode_jpeg_baseline) — every segment
+    including the entropy-coded scan is genuine and decodable."""
+    from .jpeg import encode_jpeg_baseline
+
+    return encode_jpeg_baseline(jpeg_source_image(width, height, seed), quality=85)
 
 
 def make_gif(width: int, height: int, seed: int = 0) -> bytes:
@@ -372,6 +377,39 @@ class RealDecoder:
 FRAME_BYTES = 64  # fixed synthetic frame size for the video layout
 
 
+def _media_spec(media_ref: str, kind: str) -> dict:
+    """The deterministic synthesis plan for a media ref: seed, format
+    and dimensions, derived from the ref hash exactly once so the
+    payload generator (:class:`FakeDecoder`) and the ground-truth
+    reconstruction (:func:`media_source_truth`) can never diverge."""
+    seed = int.from_bytes(
+        hashlib.blake2b(media_ref.encode(), digest_size=8).digest(), "big"
+    )
+    rng = np.random.default_rng(seed)
+    if kind == "image":
+        w = 16 + int(rng.integers(0, 113))
+        h = 16 + int(rng.integers(0, 113))
+        fmt = ("png", "jpeg", "gif", "bmp")[seed % 4]
+        return {"seed": seed, "fmt": fmt, "w": w, "h": h}
+    if kind == "video":
+        n_frames = 8 + int(rng.integers(0, 25))
+        w = 16 + 8 * int(rng.integers(0, 5))
+        h = 16 + 8 * int(rng.integers(0, 5))
+        return {"seed": seed, "fmt": "avi", "w": w, "h": h, "n_frames": n_frames}
+    if kind == "audio":
+        rate = (8000, 16000, 44100)[seed % 3]
+        channels = 1 + int(rng.integers(0, 2))
+        n_samples = rate // 100 * (1 + int(rng.integers(0, 50)))
+        return {
+            "seed": seed,
+            "fmt": "wav",
+            "rate": rate,
+            "channels": channels,
+            "n_samples": n_samples,
+        }
+    return {"seed": seed, "fmt": "blob"}
+
+
 class FakeDecoder:
     """Deterministic media fetch stand-in keyed by (media_ref, kind):
     image refs yield container-valid image bytes rotating over
@@ -381,28 +419,60 @@ class FakeDecoder:
     raw bytes."""
 
     def decode(self, media_ref: str, kind: str = "blob") -> bytes:
-        seed = int.from_bytes(
-            hashlib.blake2b(media_ref.encode(), digest_size=8).digest(), "big"
-        )
-        rng = np.random.default_rng(seed)
-        if kind == "image":
-            w = 16 + int(rng.integers(0, 113))
-            h = 16 + int(rng.integers(0, 113))
-            maker = (make_png, make_jpeg, make_gif, make_bmp)[seed % 4]
-            return maker(w, h, seed=seed)
-        if kind == "video":
+        spec = _media_spec(media_ref, kind)
+        seed, fmt = spec["seed"], spec["fmt"]
+        if fmt in ("png", "jpeg", "gif", "bmp"):
+            maker = {
+                "png": make_png, "jpeg": make_jpeg,
+                "gif": make_gif, "bmp": make_bmp,
+            }[fmt]
+            return maker(spec["w"], spec["h"], seed=seed)
+        if fmt == "avi":
             from .avi import make_avi_mjpeg
 
-            n_frames = 8 + int(rng.integers(0, 25))
-            w = 16 + 8 * int(rng.integers(0, 5))
-            h = 16 + 8 * int(rng.integers(0, 5))
-            return make_avi_mjpeg(w, h, n_frames, seed=seed)
-        if kind == "audio":
-            rate = (8000, 16000, 44100)[seed % 3]
-            channels = 1 + int(rng.integers(0, 2))
-            n_samples = rate // 100 * (1 + int(rng.integers(0, 50)))
-            return make_wav(rate, channels, n_samples, seed=seed)
-        return rng.bytes(256)
+            return make_avi_mjpeg(spec["w"], spec["h"], spec["n_frames"], seed=seed)
+        if fmt == "wav":
+            return make_wav(
+                spec["rate"], spec["channels"], spec["n_samples"], seed=seed
+            )
+        return np.random.default_rng(seed).bytes(256)
+
+
+def media_source_truth(media_ref: str, kind: str) -> tuple[str, np.ndarray | None]:
+    """(format, source array) for a synthetic media ref — the EXACT
+    array the payload was encoded from, regenerated from the ref's seed
+    independently of any decoder.  Lossless containers (PNG / GIF / BMP
+    / WAV-PCM) must decode back to it bit-exactly; lossy codecs
+    (baseline JPEG, MJPEG-AVI frames — stacked (n_frames, h, w) here)
+    must land inside the codec error envelope.  None for opaque blobs."""
+    spec = _media_spec(media_ref, kind)
+    seed, fmt = spec["seed"], spec["fmt"]
+    rng = np.random.default_rng(seed)
+    if fmt == "png":
+        # make_png: one rng.bytes(width) draw per scanline, same order
+        raw = b"".join(rng.bytes(spec["w"]) for _ in range(spec["h"]))
+        return fmt, np.frombuffer(raw, np.uint8).reshape(spec["h"], spec["w"])
+    if fmt == "jpeg":
+        return fmt, jpeg_source_image(spec["w"], spec["h"], seed)
+    if fmt == "gif":
+        # decode_gif palette-maps to RGB; the grayscale palette is
+        # (i, i, i), so the source RGB image repeats the index plane
+        idx = rng.integers(0, 256, size=(spec["h"], spec["w"]), dtype=np.uint8)
+        return fmt, np.repeat(idx[:, :, None], 3, axis=2)
+    if fmt == "bmp":
+        return fmt, rng.integers(0, 256, size=(spec["h"], spec["w"]), dtype=np.uint8)
+    if fmt == "wav":
+        body = rng.bytes(spec["n_samples"] * spec["channels"] * 2)
+        return fmt, np.frombuffer(body, "<i2").reshape(
+            spec["n_samples"], spec["channels"]
+        )
+    if fmt == "avi":
+        from .avi import avi_source_frames
+
+        return fmt, np.stack(
+            list(avi_source_frames(spec["w"], spec["h"], spec["n_frames"], seed))
+        )
+    return fmt, None
 
 
 class MediaFeatureExtractor:
@@ -639,3 +709,151 @@ def q_media_features(sf_dir: str):
         num_cpus=1,
     )
     return feats.groupby("kind").aggregate(Count(alias_name="n_media")).sort("kind")
+
+
+MEDIA_GATE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("fmt", pa.string()),
+        ("exact", pa.bool_()),
+        ("max_err", pa.float64()),
+        ("mean_err", pa.float64()),
+    ]
+)
+
+# lossy-codec error envelopes, measured over 200 seeded corpus refs
+# (q85 smooth pattern, dims 16-128: max-abs <= 32, mean-abs <= 8.8;
+# MJPEG q80 frames: per-frame mean-abs <= 8.2) — a broken decoder on
+# uint8 pixels lands at mean-abs ~85, far outside these
+JPEG_MAX_ABS_ERR = 40.0
+JPEG_MEAN_ABS_ERR = 12.0
+AVI_MEAN_ABS_ERR = 12.0
+
+
+class MediaDecodeChecker:
+    """Actor-pool gate stage: decode every media span through the SAME
+    pure-python codecs the feature/frame stages use (decode_media /
+    iter_avi_frames + decode_avi_frame) and compare against the
+    generator's source arrays (:func:`media_source_truth`).  Lossless
+    containers (PNG / GIF / BMP / WAV-PCM) must reproduce the source
+    bit-exactly (``exact``, err = 0); lossy codecs report their error
+    (JPEG: max-abs pixel err; MJPEG-AVI: worst per-sampled-frame
+    mean-abs err, ``exact`` = frame count matches the container plan).
+    Emits one tiny scalar row per span — at 100 TB the gate runs over a
+    bounded document sample and only (ref, fmt, bool, float) rows cross
+    the wire; payloads and pixels never leave the actor."""
+
+    def __init__(self, decoder: str = "fake", video_stride: int = 4):
+        self.decoder = FakeDecoder() if decoder == "fake" else RealDecoder()
+        self.video_stride = video_stride
+
+    def _check(self, ref: str, kind: str) -> tuple[str, bool, float, float]:
+        from .avi import decode_avi_frame, iter_avi_frames
+
+        payload = self.decoder.decode(ref, kind)
+        fmt, truth = media_source_truth(ref, kind)
+        inf = float("inf")
+        if fmt == "avi":
+            worst_max = worst_mean = 0.0
+            n_seen = 0
+            for f, chunk in enumerate(iter_avi_frames(payload)):
+                n_seen += 1
+                if f % self.video_stride:
+                    continue  # entropy-decode only the sampled frames
+                diff = np.abs(decode_avi_frame(chunk).astype(np.int64) - truth[f])
+                worst_max = max(worst_max, float(diff.max()))
+                worst_mean = max(worst_mean, float(diff.mean()))
+            return fmt, n_seen == truth.shape[0], worst_max, worst_mean
+        decoded = decode_media(payload)
+        if decoded is None or truth is None:
+            return fmt, False, inf, inf
+        if fmt == "jpeg":
+            if decoded.shape != truth.shape:
+                return fmt, False, inf, inf
+            diff = np.abs(decoded.astype(np.int64) - truth.astype(np.int64))
+            return fmt, True, float(diff.max()), float(diff.mean())
+        exact = bool(np.array_equal(decoded, truth))
+        return fmt, exact, 0.0 if exact else inf, 0.0 if exact else inf
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in MEDIA_GATE_SCHEMA.names}
+        for ref, kind in zip(
+            batch.column("media_ref").to_pylist(), batch.column("kind").to_pylist()
+        ):
+            fmt, exact, max_err, mean_err = self._check(ref, kind)
+            cols["media_ref"].append(ref)
+            cols["kind"].append(kind)
+            cols["fmt"].append(fmt)
+            cols["exact"].append(exact)
+            cols["max_err"].append(max_err)
+            cols["mean_err"].append(mean_err)
+        return pa.Table.from_pydict(cols, schema=MEDIA_GATE_SCHEMA)
+
+
+def q_media_decode_gate(sf_dir: str, n_docs: int = 800) -> "pd.DataFrame":
+    """Driver-recorded decode-correctness gate over a bounded corpus
+    sample: every pure-python codec path (PNG, JPEG, GIF, BMP, WAV-PCM,
+    MJPEG-AVI) decodes its synthetic payloads back to the generator's
+    source arrays — bit-exactly for the lossless containers, inside the
+    codec error envelope for the lossy ones — through the distributed
+    actor-pool stage.  One summary row; folded into approx_metrics."""
+    import pandas as pd
+
+    from ..sources.interleave import interleaved_docs
+
+    def media_spans(batch: pa.Table) -> pa.Table:
+        refs, kinds = [], []
+        for spans in batch.column("spans").to_pylist():
+            for sp in spans:
+                if sp["media_ref"] and sp["kind"] in ("image", "audio", "video"):
+                    refs.append(sp["media_ref"])
+                    kinds.append(sp["kind"])
+        return pa.Table.from_pydict(
+            {"media_ref": refs, "kind": kinds},
+            schema=pa.schema([("media_ref", pa.string()), ("kind", pa.string())]),
+        )
+
+    checked = (
+        interleaved_docs(sf_dir)
+        .limit(n_docs)
+        .map_batches(media_spans, batch_format="pyarrow")
+        .map_batches(
+            MediaDecodeChecker,
+            fn_constructor_args=("fake",),
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+    )
+    df = checked.to_pandas()  # bounded: <= a few hundred scalar rows
+    lossless = df[df["fmt"].isin(("png", "gif", "bmp", "wav"))]
+    jpeg = df[df["fmt"] == "jpeg"]
+    video = df[df["fmt"] == "avi"]
+    n_formats = df["fmt"].nunique()
+    lossless_exact_frac = float(lossless["exact"].mean()) if len(lossless) else 0.0
+    jpeg_max_err = float(jpeg["max_err"].max()) if len(jpeg) else float("inf")
+    jpeg_mean_err = float(jpeg["mean_err"].max()) if len(jpeg) else float("inf")
+    video_mean_err = float(video["mean_err"].max()) if len(video) else float("inf")
+    video_structural = bool(video["exact"].all()) if len(video) else False
+    passes = bool(
+        n_formats == 6
+        and lossless_exact_frac == 1.0
+        and jpeg_max_err <= JPEG_MAX_ABS_ERR
+        and jpeg_mean_err <= JPEG_MEAN_ABS_ERR
+        and video_mean_err <= AVI_MEAN_ABS_ERR
+        and video_structural
+    )
+    return pd.DataFrame(
+        {
+            "n_spans": [len(df)],
+            "n_formats": [n_formats],
+            "lossless_exact_frac": [lossless_exact_frac],
+            "jpeg_max_abs_err": [jpeg_max_err],
+            "jpeg_mean_abs_err": [jpeg_mean_err],
+            "video_max_mean_err": [video_mean_err],
+            "video_structural_ok": [video_structural],
+            "passes": [passes],
+        }
+    )

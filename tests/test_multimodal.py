@@ -284,3 +284,54 @@ def test_media_features_use_real_decoded_pixels():
     out = ex(batch)
     assert out.num_rows == 2
     assert all(len(f) == 16 for f in out.column("feature").to_pylist())
+
+
+def test_media_source_truth_round_trip():
+    """Every synthetic container decodes back to the generator's source
+    array: bit-exactly for PNG/GIF/BMP/WAV, inside the codec error
+    envelope for baseline JPEG and MJPEG-AVI frames."""
+    import numpy as np
+
+    from kazu_ray.extras.avi import decode_avi_frame, iter_avi_frames
+    from kazu_ray.extras.multimodal import (
+        AVI_MEAN_ABS_ERR,
+        JPEG_MAX_ABS_ERR,
+        JPEG_MEAN_ABS_ERR,
+        decode_media,
+        media_source_truth,
+    )
+
+    dec = FakeDecoder()
+    seen = set()
+    for i in range(40):
+        for kind in ("image", "audio"):
+            ref = f"media://truth{i}/{kind}"
+            fmt, truth = media_source_truth(ref, kind)
+            seen.add(fmt)
+            got = decode_media(dec.decode(ref, kind))
+            if fmt == "jpeg":
+                diff = np.abs(got.astype(int) - truth.astype(int))
+                assert diff.max() <= JPEG_MAX_ABS_ERR
+                assert diff.mean() <= JPEG_MEAN_ABS_ERR
+            else:
+                assert np.array_equal(got, truth), (ref, fmt)
+    for i in range(4):
+        ref = f"media://truth{i}/video"
+        fmt, truth = media_source_truth(ref, "video")
+        assert fmt == "avi"
+        chunks = list(iter_avi_frames(dec.decode(ref, "video")))
+        assert len(chunks) == truth.shape[0]
+        for f in (0, len(chunks) - 1):
+            diff = np.abs(decode_avi_frame(chunks[f]).astype(int) - truth[f])
+            assert diff.mean() <= AVI_MEAN_ABS_ERR
+        seen.add(fmt)
+    assert seen == {"png", "jpeg", "gif", "bmp", "wav", "avi"}
+
+
+def test_media_decode_gate_query(ray_session):
+    from kazu_ray.extras.multimodal import q_media_decode_gate
+
+    row = q_media_decode_gate("/root/testdata/sf0.001", n_docs=200).iloc[0]
+    assert row["n_formats"] == 6
+    assert row["lossless_exact_frac"] == 1.0
+    assert bool(row["passes"])
