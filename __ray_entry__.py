@@ -368,15 +368,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gates_failing": q_gates_failing,
         # --- quality-metric queries: the recall / equivalence / parity
         # gates behind the approximate and non-SQL-expressible operators.
-        # approx_metrics consolidates nineteen gates (MinHash/IVF/LSH
+        # approx_metrics consolidates 58 gate rows (MinHash/IVF/LSH/PQ
         # recall, bucketed-session + CC equivalence, quantile sketch
         # error, embedding-eval P/R on the real-weights checkpoint,
-        # IUPAC→SMILES parity, and the round-4 operators: BM25 /
-        # sampling+epoch-mix / snapshot-diff / sequence-packing /
-        # PageRank cross-engine parity + Bloom FPR + distributed
-        # k-means equivalence + SemDeDup invariants) into one query so
-        # every gate is driver-recorded each round within the 50-query
-        # budget.
+        # IUPAC→SMILES parity, BM25 / sampling+epoch-mix / snapshot-diff
+        # / sequence-packing / PageRank / triangle / k-hop / TransE /
+        # Kneser-Ney / DSIR / HLL / CMS / PCA / BPE / profile /
+        # full-outer-join / standardize / repetition-trim cross-engine
+        # parities, Bloom FPR, distributed k-means equivalence, SemDeDup
+        # invariants, Punkt boundary F1, distillation student P/R, LR
+        # quality-classifier fit parity, and the media decode gates vs
+        # generator source arrays) into one query so every gate is
+        # driver-recorded each round within the 50-query budget.
         "transformer_eval": _transformer_eval,
         "approx_metrics": q_approx_metrics,
         # Past the driver's 50-query budget: the multimodal data
