@@ -1525,6 +1525,15 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         AVI_MEAN_ABS_ERR,
         m["passes"] and m["video_max_mean_err"] <= AVI_MEAN_ABS_ERR,
     )
+    from .compress import q_compression_gate
+
+    m = q_compression_gate(sf_dir).iloc[0]
+    add(
+        "compression_parity",
+        1.0 if m["paths_equal"] else 0.0,
+        1.0,
+        m["paths_equal"],
+    )
     out = pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
     _APPROX_CACHE[sf_dir] = out
     return out.copy()
