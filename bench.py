@@ -184,7 +184,10 @@ def run_bench() -> dict:
                  # round-5 additions: grouping sets / pivot / mixture /
                  # exact order statistics / distributed LR classifier
                  "lineitem_rollup", "events_pivot", "source_mix",
-                 "orders_percentiles", "lr_quality_scores"):
+                 "orders_percentiles", "lr_quality_scores",
+                 # round-5 web-curation additions: URL canonicalize +
+                 # per-domain quota, compression/entropy signals
+                 "url_canonical", "domain_cap", "compression_signals"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()
