@@ -187,7 +187,9 @@ def run_bench() -> dict:
                  "orders_percentiles", "lr_quality_scores",
                  # round-5 web-curation additions: URL canonicalize +
                  # per-domain quota, compression/entropy signals
-                 "url_canonical", "domain_cap", "compression_signals"):
+                 "url_canonical", "domain_cap", "compression_signals",
+                 # boilerplate removal over rendered synthetic pages
+                 "html_extract"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()
