@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.collocations import q_pmi_collocations
     from kazu_ray.extras.pca import q_pca_project
     from kazu_ray.extras.bpe import q_bpe_train
+    from kazu_ray.extras.unigram import q_unigram_token_count, q_unigram_train
     from kazu_ray.extras.graph import q_graph_khop, q_graph_triangles
     from kazu_ray.extras.kgembed import q_kg_embeddings
     from kazu_ray.extras.kn_lm import q_kn_perplexity
@@ -393,7 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gates_failing": q_gates_failing,
         # --- quality-metric queries: the recall / equivalence / parity
         # gates behind the approximate and non-SQL-expressible operators.
-        # approx_metrics consolidates 59 gate rows (MinHash/IVF/LSH/PQ
+        # approx_metrics consolidates 61 gate rows (MinHash/IVF/LSH/PQ
         # recall, bucketed-session + CC equivalence, quantile sketch
         # error, embedding-eval P/R on the real-weights checkpoint,
         # IUPAC→SMILES parity, BM25 / sampling+epoch-mix / snapshot-diff
@@ -455,6 +456,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Distributed BPE training; fit/apply equivalence vs the
         # single-process reference is the bpe_* rows of approx_metrics.
         "bpe_train": q_bpe_train,
+        # Distributed unigram-LM (SentencePiece-style) tokenizer
+        # training; fit/apply equivalence vs the single-process
+        # reference is the unigram_* rows of approx_metrics.
+        "unigram_train": q_unigram_train,
+        # Distributed Viterbi-encode apply (bench surface; bounded fit).
+        "unigram_token_count": q_unigram_token_count,
         # Per-node triangle counts / clustering coefficient over the
         # derived co-occurrence graph; exact integer parity vs DuckDB's
         # closed-wedge self-join is the triangles_parity row of

@@ -189,7 +189,9 @@ def run_bench() -> dict:
                  # per-domain quota, compression/entropy signals
                  "url_canonical", "domain_cap", "compression_signals",
                  # boilerplate removal over rendered synthetic pages
-                 "html_extract"):
+                 "html_extract",
+                 # unigram-LM tokenizer distributed Viterbi apply
+                 "unigram_token_count"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()

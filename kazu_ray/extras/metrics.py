@@ -1288,6 +1288,58 @@ def q_bpe_gate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_unigram_gate(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM tokenizer training (extras/unigram.py; Kudo 2018),
+    gated the same two ways as BPE: (a) the piece/log-prob vocabulary
+    learned from the DISTRIBUTED word-count fit must EQUAL the
+    vocabulary a single-process recount of the same parquet trains
+    (the trainer is a pure deterministic function of the word table),
+    and (b) the distributed Viterbi apply's per-doc token counts must
+    equal the reference encoder's count on EVERY document."""
+    import re
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .bpe import reference_word_counts
+    from .unigram import fit_unigram, train_unigram, unigram_token_counts, viterbi
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    logp = fit_unigram(ds)
+    ref_logp = train_unigram(reference_word_counts(f"{sf_dir}/documents.parquet"))
+    fit_equal = set(logp) == set(ref_logp) and all(
+        abs(logp[p] - ref_logp[p]) < 1e-12 for p in logp
+    )
+
+    got = {
+        int(r["doc_id"]): int(r["n_unigram_tokens"])
+        for r in unigram_token_counts(ds, logp).take_all()
+    }
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    memo: dict = {}
+    ok = 0
+    n = t.num_rows
+    for doc_id, txt in zip(t.column("doc_id"), t.column("text")):
+        s = txt.as_py() or ""
+        total = 0
+        for w in re.findall(r"[a-z0-9]+", s.lower()):
+            c = memo.get(w)
+            if c is None:
+                c = memo[w] = len(viterbi(w, ref_logp))
+            total += c
+        if got.get(int(doc_id.as_py())) == total:
+            ok += 1
+    apply_frac = ok / n if n else 1.0
+    return pd.DataFrame(
+        {
+            "fit_equal": [bool(fit_equal)],
+            "apply_equal_frac": [float(apply_frac)],
+            "vocab_size": [len(logp)],
+            "passes": [bool(fit_equal and apply_frac == 1.0)],
+        }
+    )
+
+
 def q_punkt_gate(sf_dir: str) -> pd.DataFrame:
     """Boundary-exactness of the unsupervised Punkt sentencizer
     (stages/punkt.py; Kiss & Strunk 2006): train on the deterministic
@@ -1483,6 +1535,14 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     m = q_bpe_gate(sf_dir).iloc[0]
     add("bpe_fit_equal", 1.0 if m["fit_equal"] else 0.0, 1.0, m["fit_equal"])
     add("bpe_apply_equal_frac", m["apply_equal_frac"], 1.0, m["apply_equal_frac"] == 1.0)
+    m = q_unigram_gate(sf_dir).iloc[0]
+    add("unigram_fit_equal", 1.0 if m["fit_equal"] else 0.0, 1.0, m["fit_equal"])
+    add(
+        "unigram_apply_equal_frac",
+        m["apply_equal_frac"],
+        1.0,
+        m["apply_equal_frac"] == 1.0,
+    )
     from .lrfilter import q_lr_gate
 
     m = q_lr_gate(sf_dir).iloc[0]
