@@ -154,6 +154,12 @@ def _q_distill_logits(sf_dir: str):
     return q_distill_logits(sf_dir)
 
 
+def _q_cdc_dedup(sf_dir: str):
+    from kazu_ray.extras.cdc import q_cdc_dedup
+
+    return q_cdc_dedup(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -394,7 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gates_failing": q_gates_failing,
         # --- quality-metric queries: the recall / equivalence / parity
         # gates behind the approximate and non-SQL-expressible operators.
-        # approx_metrics consolidates 61 gate rows (MinHash/IVF/LSH/PQ
+        # approx_metrics consolidates 62 gate rows (MinHash/IVF/LSH/PQ
         # recall, bucketed-session + CC equivalence, quantile sketch
         # error, embedding-eval P/R on the real-weights checkpoint,
         # IUPAC→SMILES parity, BM25 / sampling+epoch-mix / snapshot-diff
@@ -556,6 +562,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed-vs-reference parity is the compression_parity row
         # of approx_metrics
         "compression_signals": q_compression_signals,
+        # content-defined-chunking (FastCDC-style) global keep-first
+        # dedup — byte-level, edit-robust counterpart of chunk_dedup;
+        # hash-only classification exchange, rolling hash not
+        # SQL-expressible, so parity is the bit-exact reference-replay
+        # cdc_parity row of approx_metrics
+        "cdc_dedup": _q_cdc_dedup,
     }
 
 

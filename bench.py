@@ -191,7 +191,10 @@ def run_bench() -> dict:
                  # boilerplate removal over rendered synthetic pages
                  "html_extract",
                  # unigram-LM tokenizer distributed Viterbi apply
-                 "unigram_token_count"):
+                 "unigram_token_count",
+                 # content-defined-chunking dedup (byte-level FastCDC
+                 # boundaries + the same hash-only exchange)
+                 "cdc_dedup"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()

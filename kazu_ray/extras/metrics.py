@@ -1594,9 +1594,40 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
         1.0,
         m["paths_equal"],
     )
+    m = q_cdc_parity(sf_dir).iloc[0]
+    add("cdc_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     out = pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
     _APPROX_CACHE[sf_dir] = out
     return out.copy()
+
+
+def q_cdc_parity(sf_dir: str) -> pd.DataFrame:
+    """Content-defined-chunking dedup parity: the distributed hash-only
+    exchange pipeline vs the single-process reference replay (same
+    chunker, same keep-first rule, same survivor digests) — exact on
+    every column.  No SQL oracle is possible (the rolling hash is not
+    expressible in DuckDB), so this is a reference-replay gate like
+    pq_path_equal."""
+    import pyarrow.parquet as pq
+
+    from .cdc import cdc_reference, q_cdc_dedup
+
+    got = q_cdc_dedup(sf_dir).to_pandas().reset_index(drop=True)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    exp = cdc_reference(docs).sort_values("doc_id").reset_index(drop=True)
+    equal = len(got) == len(exp) and bool(
+        (got["doc_id"].values == exp["doc_id"].values).all()
+        and (got["n_chunks"].values == exp["n_chunks"].values).all()
+        and (got["n_kept"].values == exp["n_kept"].values).all()
+        and (got["kept_frac"].values == exp["kept_frac"].values).all()
+        and (
+            got["kept_digest"].fillna("~").values
+            == exp["kept_digest"].fillna("~").values
+        ).all()
+    )
+    return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
 
 
 def q_gates_failing(sf_dir: str) -> pd.DataFrame:
