@@ -160,6 +160,12 @@ def _q_cdc_dedup(sf_dir: str):
     return q_cdc_dedup(sf_dir)
 
 
+def _q_frequent_pairs(sf_dir: str):
+    from kazu_ray.extras.itemsets import q_frequent_pairs
+
+    return q_frequent_pairs(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -568,6 +574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible, so parity is the bit-exact reference-replay
         # cdc_parity row of approx_metrics
         "cdc_dedup": _q_cdc_dedup,
+        # SON two-phase frequent token pairs (exact; support-bounded
+        # candidate exchange + broadcast phase-2 count); full DuckDB
+        # oracle below, pytest-parity via test_oracle_parity
+        "frequent_pairs": _q_frequent_pairs,
     }
 
 
@@ -599,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
     from kazu_ray.extras.exact_quantiles import orders_percentiles_oracle_sql
+    from kazu_ray.extras.itemsets import frequent_pairs_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
         html_extract_oracle_sql,
@@ -623,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": domain_cap_oracle_sql(),
         "html_extract": html_extract_oracle_sql(),
         "html_links": html_links_oracle_sql(),
+        "frequent_pairs": frequent_pairs_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

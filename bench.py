@@ -194,7 +194,9 @@ def run_bench() -> dict:
                  "unigram_token_count",
                  # content-defined-chunking dedup (byte-level FastCDC
                  # boundaries + the same hash-only exchange)
-                 "cdc_dedup"):
+                 "cdc_dedup",
+                 # SON exact frequent token pairs
+                 "frequent_pairs"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()
