@@ -166,6 +166,12 @@ def _q_frequent_pairs(sf_dir: str):
     return q_frequent_pairs(sf_dir)
 
 
+def _q_textfix(sf_dir: str):
+    from kazu_ray.extras.textfix import q_textfix
+
+    return q_textfix(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -406,7 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gates_failing": q_gates_failing,
         # --- quality-metric queries: the recall / equivalence / parity
         # gates behind the approximate and non-SQL-expressible operators.
-        # approx_metrics consolidates 62 gate rows (MinHash/IVF/LSH/PQ
+        # approx_metrics consolidates 63 gate rows (MinHash/IVF/LSH/PQ
         # recall, bucketed-session + CC equivalence, quantile sketch
         # error, embedding-eval P/R on the real-weights checkpoint,
         # IUPAC→SMILES parity, BM25 / sampling+epoch-mix / snapshot-diff
@@ -578,6 +584,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate exchange + broadcast phase-2 count); full DuckDB
         # oracle below, pytest-parity via test_oracle_parity
         "frequent_pairs": _q_frequent_pairs,
+        # ftfy-style mojibake repair + NFKC (encoding round-trips are
+        # not SQL-expressible); the planted-corruption ground-truth
+        # recovery check is the textfix_recovery row of approx_metrics
+        "textfix": _q_textfix,
     }
 
 

@@ -196,7 +196,9 @@ def run_bench() -> dict:
                  # boundaries + the same hash-only exchange)
                  "cdc_dedup",
                  # SON exact frequent token pairs
-                 "frequent_pairs"):
+                 "frequent_pairs",
+                 # mojibake repair + NFKC over the gate corpus
+                 "textfix"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()

@@ -1596,6 +1596,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     )
     m = q_cdc_parity(sf_dir).iloc[0]
     add("cdc_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_textfix_gate(sf_dir).iloc[0]
+    add("textfix_recovery", m["recovered_frac"], 1.0, m["passes"])
     out = pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
     _APPROX_CACHE[sf_dir] = out
     return out.copy()
@@ -1628,6 +1630,30 @@ def q_cdc_parity(sf_dir: str) -> pd.DataFrame:
         ).all()
     )
     return pd.DataFrame({"paths_equal": [equal], "n_docs": [len(got)]})
+
+
+def q_textfix_gate(sf_dir: str) -> pd.DataFrame:
+    """Mojibake-repair ground-truth gate: every doc in the planted-
+    corruption corpus must recover its known original bit-exactly
+    (incl. the double-encoded ones), the repair must be idempotent,
+    and at least one single- and one double-corrupted doc must have
+    been exercised."""
+    from .textfix import q_textfix
+
+    df = q_textfix(sf_dir).to_pandas()
+    recovered_frac = float(df["recovered"].mean())
+    exercised = (
+        (df["rounds_injected"] == 1).any()
+        and (df["rounds_injected"] == 2).any()
+        and (df["rounds_fixed"] == df["rounds_injected"]).all()
+    )
+    return pd.DataFrame(
+        {
+            "recovered_frac": [recovered_frac],
+            "n_docs": [len(df)],
+            "passes": [recovered_frac == 1.0 and bool(exercised)],
+        }
+    )
 
 
 def q_gates_failing(sf_dir: str) -> pd.DataFrame:
