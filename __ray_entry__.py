@@ -172,6 +172,12 @@ def _q_textfix(sf_dir: str):
     return q_textfix(sf_dir)
 
 
+def _q_anchor_texts(sf_dir: str):
+    from kazu_ray.extras.html_extract import q_anchor_texts
+
+    return q_anchor_texts(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -588,6 +594,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible); the planted-corruption ground-truth
         # recovery check is the textfix_recovery row of approx_metrics
         "textfix": _q_textfix,
+        # anchor-text corpus construction (per-href distinct linking
+        # docs + occurrence count + sorted distinct anchor texts);
+        # combiner-first so chrome hrefs can't hot-spot; full DuckDB
+        # oracle, pytest-parity via test_oracle_parity
+        "anchor_texts": _q_anchor_texts,
     }
 
 
@@ -622,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.itemsets import frequent_pairs_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
+        anchor_texts_oracle_sql,
         html_extract_oracle_sql,
         html_links_oracle_sql,
     )
@@ -645,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": html_extract_oracle_sql(),
         "html_links": html_links_oracle_sql(),
         "frequent_pairs": frequent_pairs_oracle_sql(),
+        "anchor_texts": anchor_texts_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

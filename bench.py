@@ -198,7 +198,9 @@ def run_bench() -> dict:
                  # SON exact frequent token pairs
                  "frequent_pairs",
                  # mojibake repair + NFKC over the gate corpus
-                 "textfix"):
+                 "textfix",
+                 # anchor-text corpus construction over rendered pages
+                 "anchor_texts"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()

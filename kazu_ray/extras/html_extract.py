@@ -290,3 +290,134 @@ def html_links_oracle_sql() -> str:
     SELECT href, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
     FROM links GROUP BY href ORDER BY href
     """
+
+
+ANCHORS_SCHEMA = pa.schema(
+    [
+        ("href", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_anchors", pa.int64()),
+        ("anchor_texts", pa.string()),
+    ]
+)
+
+
+def extract_anchor_pairs(batch: pa.Table):
+    """(doc_id, html) -> (doc_id, href, txt) polars frame, one row per
+    ANCHOR OCCURRENCE (a page may link one href under several texts —
+    '/' carries both the nav 'Home' and the per-host footer line)."""
+    pl = _pl()
+    df = pl.from_arrow(batch).select("doc_id", "html")
+    out = (
+        df.with_columns(a=pl.col("html").str.extract_all(_ANCHOR_RE))
+        .select("doc_id", "a")
+        .explode("a")
+        .filter(pl.col("a").is_not_null())
+        .with_columns(
+            href=pl.col("a").str.extract(r'(?i)href="([^"]*)"', 1),
+            txt=_unescape(
+                pl.col("a").str.replace_all(_TAG_RE, "").str.strip_chars()
+            ),
+        )
+        .filter(pl.col("href").is_not_null())
+        .select("doc_id", "href", "txt")
+    )
+    return out
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation (the retrieval-corpus construction step
+    behind anchor-text indexes): per canonical href, the number of
+    distinct linking documents, total anchor occurrences, and the
+    sorted '|'-joined distinct anchor texts.
+
+    Combiner-first: each block (docs are whole rows, so a doc lives in
+    exactly ONE block — per-block distinct-doc counts are additive)
+    emits one partial row per href with bounded distinct-text lists;
+    the final groupby moves only those per-(href, block) partials,
+    never per-anchor rows, so the every-page chrome hrefs ('/') cannot
+    hot-spot the exchange."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(batch).with_columns(html=render_page_exprs())
+        pairs = extract_anchor_pairs(df.select("doc_id", "html").to_arrow())
+        out = pairs.group_by("href").agg(
+            n_docs=pl.col("doc_id").n_unique().cast(pl.Int64),
+            n_anchors=pl.len().cast(pl.Int64),
+            texts=pl.col("txt").unique(),
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("href", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("n_anchors", pa.int64()),
+                    ("texts", pa.list_(pa.string())),
+                ]
+            )
+        )
+
+    def merge(group):
+        import pandas as pd
+
+        texts = sorted({t for lst in group["texts"] for t in lst})
+        return pd.DataFrame(
+            {
+                "href": [group["href"].iloc[0]],
+                "n_docs": [int(group["n_docs"].sum())],
+                "n_anchors": [int(group["n_anchors"].sum())],
+                "anchor_texts": ["|".join(texts)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("href")
+        .map_groups(merge, batch_format="pandas")
+        .sort("href")
+    )
+
+
+def anchor_texts_oracle_sql() -> str:
+    """SQL twin of the renderer's anchor inventory: chrome anchors are
+    constant, the '/' footer anchor text varies by host (source + doc_id
+    % 7 arithmetic), sidebar anchors replicate the modular series."""
+    return """
+    WITH anchors AS (
+      SELECT doc_id, '/' AS href, 'Home' AS txt FROM documents
+      UNION ALL SELECT doc_id, '/world', 'World' FROM documents
+      UNION ALL SELECT doc_id, '/tech', 'Tech' FROM documents
+      UNION ALL SELECT doc_id, '/about', 'About us' FROM documents
+      UNION ALL SELECT doc_id, '/terms', 'Terms' FROM documents
+      UNION ALL SELECT doc_id, '/privacy', 'Privacy' FROM documents
+      UNION ALL SELECT doc_id, '/contact', 'Contact' FROM documents
+      UNION ALL SELECT doc_id, '/',
+        '© 2026 ' || source || '.site' || (doc_id % 7)::VARCHAR || '.com'
+        FROM documents
+      UNION ALL SELECT doc_id, '/r/' || (doc_id % 13)::VARCHAR,
+        'related story ' || (doc_id % 13)::VARCHAR FROM documents
+      UNION ALL SELECT doc_id, '/t/' || (doc_id % 7)::VARCHAR,
+        'trending topic ' || (doc_id % 7)::VARCHAR FROM documents
+      UNION ALL SELECT doc_id, '/m/' || (doc_id % 5)::VARCHAR,
+        'most read ' || (doc_id % 5)::VARCHAR FROM documents
+    ),
+    stats AS (
+      SELECT href, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+             COUNT(*)::BIGINT AS n_anchors
+      FROM anchors GROUP BY href
+    ),
+    d AS (SELECT DISTINCT href, txt FROM anchors),
+    texts AS (
+      SELECT href, STRING_AGG(txt, '|' ORDER BY txt) AS anchor_texts
+      FROM d GROUP BY href
+    )
+    SELECT stats.href, n_docs, n_anchors, anchor_texts
+    FROM stats JOIN texts USING (href)
+    ORDER BY stats.href
+    """

@@ -2,6 +2,7 @@
 extractor must be generic, not generator-aware), generator round-trip
 recovery, link census parity, and degenerate inputs."""
 import duckdb
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -149,3 +150,36 @@ def test_extract_recovery_oracle(ray_session, con):
 
 def test_links_oracle(ray_session, con):
     _parity(q_html_links(SF), html_links_oracle_sql(), con)
+
+
+def test_extract_anchor_pairs_texts_and_multi_text_href():
+    from kazu_ray.extras.html_extract import extract_anchor_pairs
+
+    html = (
+        '<a href="/x">First</a> body '
+        '<a href="/x">Second &amp; more</a> '
+        '<a href="/y"><b>Bold</b> text</a>'
+    )
+    t = pa.table({"doc_id": [1], "html": [html]})
+    got = extract_anchor_pairs(t).sort("href", "txt").to_dicts()
+    assert got == [
+        {"doc_id": 1, "href": "/x", "txt": "First"},
+        {"doc_id": 1, "href": "/x", "txt": "Second & more"},
+        {"doc_id": 1, "href": "/y", "txt": "Bold text"},
+    ]
+
+
+def test_anchor_texts_oracle_parity(ray_session, con):
+    from kazu_ray.extras.html_extract import (
+        anchor_texts_oracle_sql,
+        q_anchor_texts,
+    )
+
+    got = q_anchor_texts(SF).to_pandas().reset_index(drop=True)
+    exp = con.execute(anchor_texts_oracle_sql()).df()
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # '/' carries two anchors per page: nav Home + per-host footer
+    root = got[got["href"] == "/"].iloc[0]
+    assert root["n_anchors"] == 2 * root["n_docs"]
+    assert root["anchor_texts"].startswith("Home|")
