@@ -178,6 +178,12 @@ def _q_anchor_texts(sf_dir: str):
     return q_anchor_texts(sf_dir)
 
 
+def _q_orders_ntile(sf_dir: str):
+    from kazu_ray.extras.exact_quantiles import q_orders_ntile
+
+    return q_orders_ntile(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -599,6 +605,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiner-first so chrome hrefs can't hot-spot; full DuckDB
         # oracle, pytest-parity via test_oracle_parity
         "anchor_texts": _q_anchor_texts,
+        # exact distributed NTILE (histogram-bisection boundaries +
+        # tie-resolution pass + broadcast assignment, no global sort);
+        # exact SQL window-function parity via test_oracle_parity
+        "orders_ntile": _q_orders_ntile,
     }
 
 
@@ -629,7 +639,10 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.dedup import minhash_oracle_sql, simhash_oracle_sql
     from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
-    from kazu_ray.extras.exact_quantiles import orders_percentiles_oracle_sql
+    from kazu_ray.extras.exact_quantiles import (
+        orders_ntile_oracle_sql,
+        orders_percentiles_oracle_sql,
+    )
     from kazu_ray.extras.itemsets import frequent_pairs_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
@@ -658,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "html_links": html_links_oracle_sql(),
         "frequent_pairs": frequent_pairs_oracle_sql(),
         "anchor_texts": anchor_texts_oracle_sql(),
+        "orders_ntile": orders_ntile_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

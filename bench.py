@@ -200,7 +200,9 @@ def run_bench() -> dict:
                  # mojibake repair + NFKC over the gate corpus
                  "textfix",
                  # anchor-text corpus construction over rendered pages
-                 "anchor_texts"):
+                 "anchor_texts",
+                 # exact distributed NTILE deciles (no global sort)
+                 "orders_ntile"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()

@@ -181,3 +181,137 @@ def orders_percentiles_oracle_sql() -> str:
         for p in (0.5, 0.9, 0.99)
     ]
     return " UNION ALL ".join(selects) + " ORDER BY p"
+
+
+def _resolve_ranks(ds, col: str, lo: float, hi: float, ranks) -> dict:
+    """Values at several 1-based ranks, SHARING one bucket-count pass
+    and one pull per distinct target bucket (the multi-rank form NTILE
+    needs: k-1 boundaries resolve in ~2 passes total instead of ~2(k-1))."""
+    counts = _bucket_counts(ds, col, lo, hi)
+    cum = np.cumsum(counts)
+    width = (hi - lo) / N_BUCKETS
+    by_bucket: dict[int, list[int]] = {}
+    for t in ranks:
+        by_bucket.setdefault(int(np.searchsorted(cum, t)), []).append(t)
+    out: dict[int, float] = {}
+    for b, ts in by_bucket.items():
+        below = int(cum[b - 1]) if b else 0
+        n_b, v_lo, v_hi = _bucket_stats(ds, col, lo, hi, width, b)
+        if v_lo == v_hi:
+            for t in ts:
+                out[t] = v_lo
+        elif n_b <= PULL_CAP:
+            pulled = _pull_bucket(ds, col, lo, hi, width, b)
+            for t in ts:
+                out[t] = float(pulled[t - below - 1])
+        else:
+            for t in ts:
+                out[t] = _resolve_rank(ds, col, v_lo, v_hi, t - below, 1)
+    return out
+
+
+def _tie_info(ds, col: str, tiebreak: str, values: np.ndarray):
+    """For each boundary value: (#rows strictly below, sorted tiebreak
+    keys of the rows AT the value) — ONE streaming pass for all
+    boundaries.  The tie pull is bounded by the duplicate count of a
+    single column value (asserted <= PULL_CAP; same contract as the
+    percentile bucket pull)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        tb = t.column(tiebreak).to_numpy(zero_copy_only=False).astype(np.float64)
+        rows = []
+        for i, val in enumerate(values):
+            rows.append(
+                {
+                    "i": i,
+                    "n_below": int((v < val).sum()),
+                    "ties": tb[v == val].tolist(),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    n_below = np.zeros(len(values), dtype=np.int64)
+    ties: list[list[float]] = [[] for _ in values]
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for i, nb, tl in zip(
+            batch.column("i").to_pylist(),
+            batch.column("n_below").to_pylist(),
+            batch.column("ties").to_pylist(),
+        ):
+            n_below[i] += nb
+            ties[i].extend(tl)
+    for tl in ties:
+        if len(tl) > PULL_CAP:
+            raise RuntimeError(
+                f"ntile tie group of {len(tl)} rows exceeds pull cap "
+                f"{PULL_CAP}; boundary needs a second-key refinement pass"
+            )
+    return n_below, [np.sort(np.asarray(t)) for t in ties]
+
+
+def exact_ntile(ds, k: int, col: str, tiebreak: str):
+    """EXACT distributed NTILE(k) OVER (ORDER BY col, tiebreak) with no
+    global sort: the k-1 bucket-boundary rows are located by the
+    histogram-bisection order-statistic engine (composite-key exact via
+    a single tie-resolution pass on ``tiebreak``), broadcast, and every
+    row is assigned by k-1 vectorised lexicographic compares.  Driver
+    state is O(k + N_BUCKETS); row data never shuffles.
+
+    Requires n >= k and a (col, tiebreak) total order (tiebreak unique
+    within equal col values), matching SQL NTILE's determinism
+    requirement."""
+    import ray
+
+    lo, hi, n = _minmax_count(ds, col)
+    if n < k:
+        raise ValueError(f"ntile needs n >= k (n={n}, k={k})")
+    q, r = divmod(n, k)
+    ends = [j * q + min(j, r) for j in range(1, k)]
+    vals_at = _resolve_ranks(ds, col, lo, hi, ends)
+    bvals = np.array([vals_at[t] for t in ends], dtype=np.float64)
+    n_below, ties = _tie_info(ds, col, tiebreak, bvals)
+    btbs = np.array(
+        [ties[i][ends[i] - n_below[i] - 1] for i in range(len(ends))],
+        dtype=np.float64,
+    )
+    bounds_ref = ray.put((bvals, btbs))
+
+    def assign(t: pa.Table) -> pa.Table:
+        bv, bt = ray.get(bounds_ref)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        tb = t.column(tiebreak).to_numpy(zero_copy_only=False).astype(np.float64)
+        bucket = np.ones(len(v), dtype=np.int64)
+        for j in range(len(bv)):
+            bucket += (v > bv[j]) | ((v == bv[j]) & (tb > bt[j]))
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_orders_ntile(sf_dir: str, k: int = 10):
+    """Per-order exact NTILE(10) bucket over (o_totalprice, o_orderkey)
+    — deciles for curriculum ordering / stratified splits.  Exact SQL
+    window-function parity via the oracle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).materialize()
+    return (
+        exact_ntile(ds, k, "o_totalprice", "o_orderkey")
+        .select_columns(["o_orderkey", "bucket"])
+        .sort("o_orderkey")
+    )
+
+
+def orders_ntile_oracle_sql(k: int = 10) -> str:
+    return f"""
+        SELECT o_orderkey,
+               CAST(NTILE({k}) OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS bucket
+        FROM orders
+        ORDER BY o_orderkey
+    """

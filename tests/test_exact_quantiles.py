@@ -2,9 +2,12 @@
 duplicate-heavy short-circuit, constant columns, numpy ground truth."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from kazu_ray.extras.exact_quantiles import exact_percentiles
+
+SF = "/root/testdata/sf0.001"
 
 
 def _disc(values: np.ndarray, p: float) -> float:
@@ -50,3 +53,58 @@ def test_tiny_input_ranks(ray_session):
     vals = np.array([10.0, 20.0, 30.0, 40.0])
     got = exact_percentiles(_ds(vals).materialize(), "v", ps=(0.25, 0.5, 0.75, 1.0))
     assert got["value"].tolist() == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_ntile_oracle_parity_and_sizes(ray_session):
+    import duckdb
+
+    from kazu_ray.extras.exact_quantiles import (
+        orders_ntile_oracle_sql,
+        q_orders_ntile,
+    )
+
+    got = q_orders_ntile(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    exp = con.execute(orders_ntile_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    sizes = got["bucket"].value_counts()
+    assert sizes.max() - sizes.min() <= 1  # NTILE's equal-split law
+
+
+def test_ntile_nondivisible_and_heavy_ties(ray_session):
+    """n % k != 0 puts the extra rows in the FIRST buckets, and a
+    column that is one giant tie group resolves entirely through the
+    tiebreak pass."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    n, k = 103, 7
+    df = pd.DataFrame(
+        {
+            "key": np.arange(n, dtype=np.int64),
+            # three distinct values, one of them covering half the rows
+            "val": np.where(np.arange(n) % 2 == 0, 5.0,
+                            np.where(np.arange(n) % 3 == 0, 1.0, 9.0)),
+        }
+    )
+    from kazu_ray.extras.exact_quantiles import exact_ntile
+
+    ds = rd.from_pandas(df).repartition(8).materialize()
+    got = (
+        exact_ntile(ds, k, "val", "key")
+        .select_columns(["key", "bucket"])
+        .sort("key")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        f"SELECT key, CAST(NTILE({k}) OVER (ORDER BY val, key) AS BIGINT)"
+        f" AS bucket FROM t ORDER BY key"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
