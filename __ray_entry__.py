@@ -184,6 +184,12 @@ def _q_orders_ntile(sf_dir: str):
     return q_orders_ntile(sf_dir)
 
 
+def _q_events_anomaly(sf_dir: str):
+    from kazu_ray.extras.windows import q_events_anomaly
+
+    return q_events_anomaly(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -609,6 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tie-resolution pass + broadcast assignment, no global sort);
         # exact SQL window-function parity via test_oracle_parity
         "orders_ntile": _q_orders_ntile,
+        # per-user rolling z-score anomaly flags (integer-exact z-test,
+        # no float boundary flips); exact SQL window parity
+        "events_anomaly": _q_events_anomaly,
     }
 
 
@@ -621,7 +630,10 @@ def oracle_sql() -> dict[str, str]:
         dup_passages_oracle_sql,
     )
     from kazu_ray.extras.similarity import label_centroids_oracle_sql
-    from kazu_ray.extras.windows import events_sliding_oracle_sql
+    from kazu_ray.extras.windows import (
+        events_anomaly_oracle_sql,
+        events_sliding_oracle_sql,
+    )
     from kazu_ray.extras.text_analysis import (
         bpe_token_count_oracle_sql,
         json_props_oracle_sql,
@@ -672,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs": frequent_pairs_oracle_sql(),
         "anchor_texts": anchor_texts_oracle_sql(),
         "orders_ntile": orders_ntile_oracle_sql(),
+        "events_anomaly": events_anomaly_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

@@ -202,7 +202,9 @@ def run_bench() -> dict:
                  # anchor-text corpus construction over rendered pages
                  "anchor_texts",
                  # exact distributed NTILE deciles (no global sort)
-                 "orders_ntile"):
+                 "orders_ntile",
+                 # per-user rolling z-score anomaly flags
+                 "events_anomaly"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()

@@ -410,3 +410,98 @@ def events_sliding_oracle_sql(window_hours: int = 3) -> str:
         )
         ORDER BY event_type, hour_bucket
     """
+
+
+# rolling anomaly detection: trailing-window z-test parameters
+ANOM_WINDOW = 20  # prior events in the frame (ROWS 20 PRECEDING .. 1 PRECEDING)
+ANOM_K = 3  # flag |value - mean| > K * sample std
+ANOM_MIN_PRIOR = 8  # need this much history before flagging
+
+
+def q_events_anomaly(sf_dir: str):
+    """Per-user rolling z-score anomaly flags over the event stream:
+    an event is anomalous when its value deviates from the trailing
+    ANOM_WINDOW events' mean by more than ANOM_K sample standard
+    deviations (with at least ANOM_MIN_PRIOR prior events).
+
+    EXACT cross-engine booleans: values are 2dp-exact, so they scale to
+    int64 and the z-test becomes the pure INTEGER inequality
+
+        (n*v - s)^2 * (n-1)  >  K^2 * n * (n*ssq - s^2)
+
+    (s, ssq = window sum / sum of squares) — no float accumulation on
+    either engine, hence no last-ulp boundary flips; the oracle replays
+    it with BIGINT window sums.  Operand bounds are asserted against
+    int64 (|iv| <= 2^20 covers values to ~10^4 at 2dp with W=20).
+
+    Shape: one groupby(user_id) exchange, then a vectorised prefix-sum
+    window pass per group — the same per-key ordering contract as
+    events_sessions (hot users are bounded by real-world activity; the
+    sessionizer's bucket-salting upgrade applies verbatim if not)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    W, K, M = ANOM_WINDOW, ANOM_K, ANOM_MIN_PRIOR
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        iv = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        assert np.abs(iv).max(initial=0) < (1 << 20), "scale exceeds int64 proof"
+        cs = np.concatenate([[0], np.cumsum(iv)])
+        cs2 = np.concatenate([[0], np.cumsum(iv * iv)])
+        idx = np.arange(len(iv))
+        n = np.minimum(idx, W)
+        start = idx - n
+        s = cs[idx] - cs[start]
+        ssq = cs2[idx] - cs2[start]
+        var_num = n * ssq - s * s
+        lhs = (n * iv - s) ** 2 * (n - 1)
+        rhs = (K * K) * n * var_num
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n_prior": n,
+                "is_anomaly": (n >= M) & (var_num > 0) & (lhs > rhs),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(flag, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+def events_anomaly_oracle_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT event_id, user_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS iv
+          FROM events
+        ),
+        w AS (
+          SELECT event_id, user_id, iv,
+                 COALESCE(SUM(iv) OVER win, 0) AS s,
+                 COALESCE(SUM(iv * iv) OVER win, 0) AS ssq,
+                 COUNT(*) OVER win AS n
+          FROM e
+          WINDOW win AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING
+          )
+        )
+        SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior,
+               (n >= {ANOM_MIN_PRIOR}
+                AND (n * ssq - s * s) > 0
+                AND (n * iv - s) * (n * iv - s) * (n - 1)
+                    > {ANOM_K * ANOM_K} * n * (n * ssq - s * s)
+               ) AS is_anomaly
+        FROM w
+        ORDER BY event_id
+    """

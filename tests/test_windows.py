@@ -233,3 +233,59 @@ def test_events_sliding_random_vs_bruteforce(ray_session, tmp_path):
         et, h = r["event_type"], r["hour_bucket"]
         mask = (types == et) & (hours >= h - 2) & (hours <= h)
         assert r["n_events_win"] == int(mask.sum()), (et, h)
+
+
+def test_events_anomaly_oracle_parity(ray_session):
+    """Integer-exact rolling z-test: boolean flags match the SQL window
+    replay bit-for-bit (no float-threshold seam by construction)."""
+    import duckdb
+
+    from kazu_ray.extras.windows import (
+        events_anomaly_oracle_sql,
+        q_events_anomaly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_anomaly(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    exp = con.execute(events_anomaly_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # warm-up rows (insufficient history) are never flagged
+    assert not got.loc[got["n_prior"] < 8, "is_anomaly"].any()
+
+
+def test_events_anomaly_flags_planted_spike(ray_session):
+    """A constant-ish stream with one planted spike flags exactly the
+    spike; warm-up rows never flag."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from kazu_ray.extras.windows import ANOM_MIN_PRIOR, q_events_anomaly
+
+    n = 60
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            "user_id": np.zeros(n, dtype=np.int64),
+            # gentle noise so variance > 0, one huge spike at row 40
+            "value": np.where(np.arange(n) == 40, 400.0,
+                              10.0 + (np.arange(n) % 3) * 0.02),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        res = (
+            q_events_anomaly(d)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    flagged = res.loc[res["is_anomaly"], "event_id"].tolist()
+    assert 40 in flagged
+    assert all(e >= ANOM_MIN_PRIOR for e in flagged)
