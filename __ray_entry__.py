@@ -190,6 +190,12 @@ def _q_events_anomaly(sf_dir: str):
     return q_events_anomaly(sf_dir)
 
 
+def _q_name_matches(sf_dir: str):
+    from kazu_ray.extras.linkage import q_name_matches
+
+    return q_name_matches(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -618,6 +624,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user rolling z-score anomaly flags (integer-exact z-test,
         # no float boundary flips); exact SQL window parity
         "events_anomaly": _q_events_anomaly,
+        # FastSS deletion-neighborhood similarity self-join (edit
+        # distance 1 without a cross join); exact DuckDB levenshtein
+        # parity via test_oracle_parity
+        "name_matches": _q_name_matches,
     }
 
 
@@ -656,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         orders_percentiles_oracle_sql,
     )
     from kazu_ray.extras.itemsets import frequent_pairs_oracle_sql
+    from kazu_ray.extras.linkage import name_matches_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
         anchor_texts_oracle_sql,
@@ -685,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": anchor_texts_oracle_sql(),
         "orders_ntile": orders_ntile_oracle_sql(),
         "events_anomaly": events_anomaly_oracle_sql(),
+        "name_matches": name_matches_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

@@ -204,7 +204,9 @@ def run_bench() -> dict:
                  # exact distributed NTILE deciles (no global sort)
                  "orders_ntile",
                  # per-user rolling z-score anomaly flags
-                 "events_anomaly"):
+                 "events_anomaly",
+                 # FastSS edit-distance-1 similarity self-join
+                 "name_matches"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()
