@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_full_outer_join,
         q_events_hourly,
         q_lineitem_agg,
+        q_lineitem_cube,
         q_lineitem_rollup,
         q_orders_rank_per_group,
         q_orders_topk,
@@ -351,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouping sets: one-pass ROLLUP via per-batch multi-set
         # partials + a single tiny merge groupby (exact oracle)
         "lineitem_rollup": q_lineitem_rollup,
+        # GROUP BY CUBE: full 2^k grouping lattice, combiner-first
+        "lineitem_cube": q_lineitem_cube,
         # pivot: per-user event-type counts widened in-batch (exact
         # oracle via COUNT(*) FILTER per type)
         "events_pivot": q_events_pivot,
@@ -677,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.sampling import source_mix_oracle_sql
     from kazu_ray.relational import (
         events_pivot_oracle_sql,
+        lineitem_cube_oracle_sql,
         lineitem_rollup_oracle_sql,
     )
 
@@ -684,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         # every quality gate passes -> zero failing rows, pinned by SQL
         "gates_failing": gates_failing_oracle_sql(),
         "lineitem_rollup": lineitem_rollup_oracle_sql(),
+        "lineitem_cube": lineitem_cube_oracle_sql(),
         "events_pivot": events_pivot_oracle_sql(),
         "source_mix": source_mix_oracle_sql(),
         "orders_percentiles": orders_percentiles_oracle_sql(),

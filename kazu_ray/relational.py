@@ -594,6 +594,76 @@ def lineitem_rollup_oracle_sql() -> str:
     """
 
 
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the full 2^k lattice
+    (detail, each single-column margin, grand total) in one corpus
+    pass — q_lineitem_rollup's combiner shape with the fourth grouping
+    set added, so the exchange carries O(groups x 4) partial rows
+    regardless of corpus size.  Exact CUBE SQL parity."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        agg = dict(qty_p=pl.col("l_quantity").sum(), n_p=pl.len().cast(pl.Int64))
+        sets = [
+            df.group_by("l_returnflag", "l_linestatus").agg(**agg),
+            df.group_by("l_returnflag").agg(**agg).with_columns(
+                l_linestatus=pl.lit("ALL")
+            ),
+            df.group_by("l_linestatus").agg(**agg).with_columns(
+                l_returnflag=pl.lit("ALL")
+            ),
+            df.select(**agg).with_columns(
+                l_returnflag=pl.lit("ALL"), l_linestatus=pl.lit("ALL")
+            ),
+        ]
+        out = pl.concat(
+            [s.select("l_returnflag", "l_linestatus", "qty_p", "n_p") for s in sets]
+        )
+        return out.to_arrow()
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_p", alias_name="sum_qty"),
+            Sum("n_p", alias_name="n_rows"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("sum_qty"), "sum_qty",
+            pc_round_sql(t["sum_qty"], 2),
+        )
+        return t.set_column(
+            t.schema.get_field_index("n_rows"), "n_rows",
+            t["n_rows"].cast(pa.int64()),
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def lineitem_cube_oracle_sql() -> str:
+    return """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
