@@ -196,6 +196,12 @@ def _q_name_matches(sf_dir: str):
     return q_name_matches(sf_dir)
 
 
+def _q_phrase_search(sf_dir: str):
+    from kazu_ray.extras.phrase import q_phrase_search
+
+    return q_phrase_search(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -631,6 +637,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distance 1 without a cross join); exact DuckDB levenshtein
         # parity via test_oracle_parity
         "name_matches": _q_name_matches,
+        # positional phrase search (posting-list intersection, zero
+        # shuffle — docs are row-local); exact SQL position-join parity
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -670,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from kazu_ray.extras.itemsets import frequent_pairs_oracle_sql
     from kazu_ray.extras.linkage import name_matches_oracle_sql
+    from kazu_ray.extras.phrase import phrase_search_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
         anchor_texts_oracle_sql,
@@ -702,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_ntile": orders_ntile_oracle_sql(),
         "events_anomaly": events_anomaly_oracle_sql(),
         "name_matches": name_matches_oracle_sql(),
+        "phrase_search": phrase_search_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

@@ -206,7 +206,9 @@ def run_bench() -> dict:
                  # per-user rolling z-score anomaly flags
                  "events_anomaly",
                  # FastSS edit-distance-1 similarity self-join
-                 "name_matches"):
+                 "name_matches",
+                 # positional phrase search + CUBE grouping lattice
+                 "phrase_search", "lineitem_cube"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: q[n](SF_DIR).count()
