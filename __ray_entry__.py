@@ -202,6 +202,12 @@ def _q_phrase_search(sf_dir: str):
     return q_phrase_search(sf_dir)
 
 
+def _q_constraint_audit(sf_dir: str):
+    from kazu_ray.extras.audit import q_constraint_audit
+
+    return q_constraint_audit(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -640,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positional phrase search (posting-list intersection, zero
         # shuffle — docs are row-local); exact SQL position-join parity
         "phrase_search": _q_phrase_search,
+        # Deequ-style constraint audit (FK/range/not-null, size-routed
+        # broadcast or partitioned anti-join); exact SQL parity
+        "constraint_audit": _q_constraint_audit,
     }
 
 
@@ -680,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.itemsets import frequent_pairs_oracle_sql
     from kazu_ray.extras.linkage import name_matches_oracle_sql
     from kazu_ray.extras.phrase import phrase_search_oracle_sql
+    from kazu_ray.extras.audit import constraint_audit_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
         anchor_texts_oracle_sql,
@@ -713,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": events_anomaly_oracle_sql(),
         "name_matches": name_matches_oracle_sql(),
         "phrase_search": phrase_search_oracle_sql(),
+        "constraint_audit": constraint_audit_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

@@ -86,6 +86,18 @@ def _timed_calibrated(fn, repeats: int = 2):
     return min(raws), round(min(norms), 3), samples
 
 
+def _result_rows(res) -> int:
+    """Row count for any queries() return type (Dataset / pandas /
+    pyarrow.Table) — consumes the result, which is what we time."""
+    if hasattr(res, "num_rows"):  # pyarrow.Table
+        return res.num_rows
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return res.count()  # ray.data.Dataset
+
+
 def run_bench() -> dict:
     import ray
     import ray.data as rd
@@ -208,10 +220,12 @@ def run_bench() -> dict:
                  # FastSS edit-distance-1 similarity self-join
                  "name_matches",
                  # positional phrase search + CUBE grouping lattice
-                 "phrase_search", "lineitem_cube"):
+                 "phrase_search", "lineitem_cube",
+                 # Deequ-style FK/range/not-null constraint audit
+                 "constraint_audit"):
         try:
             raw, norm, samples = _timed_calibrated(
-                lambda n=name: q[n](SF_DIR).count()
+                lambda n=name: _result_rows(q[n](SF_DIR))
             )
             queries[name] = raw
             queries_normalized[name] = norm
