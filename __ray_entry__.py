@@ -208,6 +208,12 @@ def _q_constraint_audit(sf_dir: str):
     return q_constraint_audit(sf_dir)
 
 
+def _q_incremental_agg(sf_dir: str):
+    from kazu_ray.extras.incremental import q_incremental_agg
+
+    return q_incremental_agg(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -649,6 +655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Deequ-style constraint audit (FK/range/not-null, size-routed
         # broadcast or partitioned anti-join); exact SQL parity
         "constraint_audit": _q_constraint_audit,
+        # incremental aggregate maintenance (signed delta merge of the
+        # token-count state, never rescans the base); exact parity vs
+        # a direct recompute over the post-delta doc set
+        "incremental_agg": _q_incremental_agg,
     }
 
 
@@ -690,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.linkage import name_matches_oracle_sql
     from kazu_ray.extras.phrase import phrase_search_oracle_sql
     from kazu_ray.extras.audit import constraint_audit_oracle_sql
+    from kazu_ray.extras.incremental import incremental_agg_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
         anchor_texts_oracle_sql,
@@ -724,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "name_matches": name_matches_oracle_sql(),
         "phrase_search": phrase_search_oracle_sql(),
         "constraint_audit": constraint_audit_oracle_sql(),
+        "incremental_agg": incremental_agg_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

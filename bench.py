@@ -222,7 +222,9 @@ def run_bench() -> dict:
                  # positional phrase search + CUBE grouping lattice
                  "phrase_search", "lineitem_cube",
                  # Deequ-style FK/range/not-null constraint audit
-                 "constraint_audit"):
+                 "constraint_audit",
+                 # incremental aggregate maintenance (delta merge)
+                 "incremental_agg"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))
