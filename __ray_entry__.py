@@ -251,6 +251,10 @@ def _q_lm_perplexity(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    return _ordered(_queries_unordered())
+
+
+def _queries_unordered() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.dedup import (
         q_embedding_neardup,
         q_exact_dedup,
@@ -660,6 +664,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a direct recompute over the post-delta doc set
         "incremental_agg": _q_incremental_agg,
     }
+
+
+# The driver records the FIRST 50 queries() entries in CORRECTNESS_r{N}.
+# This list pins that window deliberately: the 6 essential rows-only
+# surfaces (flagship KG outputs + the transformer golden eval + the
+# consolidated 63-row gate table) followed by 44 DuckDB-oracle-checked
+# queries — the maximum oracle density the budget allows.  Everything
+# past the window stays registered, pytest-oracle-checked
+# (test_oracle_parity covers ALL oracle_sql entries) and/or gated
+# through approx_metrics rows; tests/test_query_budget.py pins this
+# composition so dict-order drift can't silently evict a gate again.
+RECORDED_50 = (
+    # rows-only essentials (6)
+    "kg_edges", "kg_nodes", "kg_eval", "ner_entities",
+    "transformer_eval", "approx_metrics",
+    # oracle-pinned gate view (zero rows when every gate passes)
+    "gates_failing",
+    # oracle-checked core (r04 continuity)
+    "mutation_mentions", "pattern_entities", "quality_signals",
+    "quality_filter", "rare_tokens", "lm_perplexity", "dup_passages",
+    "decontaminate", "bpe_token_count", "lineitem_agg",
+    "orders_rank_per_group", "events_sessions", "events_sliding",
+    "asof_join", "range_join", "incremental_agg", "part_semi_join",
+    "doc_token_stats", "token_topk", "exact_dedup",
+    "minhash_candidates", "simhash", "embedding_neardup",
+    "neardup_components", "ann_topk", "pii_scan", "label_centroids",
+    # round-5 oracle-checked additions
+    "lineitem_rollup", "lineitem_cube", "events_pivot", "source_mix",
+    "orders_percentiles", "orders_ntile", "tfidf_keywords",
+    "url_canonical", "domain_cap", "html_extract", "anchor_texts",
+    "frequent_pairs", "events_anomaly", "name_matches",
+    "phrase_search", "constraint_audit",
+)
+
+
+def _ordered(d: dict) -> dict:
+    out = {name: d[name] for name in RECORDED_50}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
 
 
 _STOPLIST_SQL = "('the','and','of','a','to','in','is')"
