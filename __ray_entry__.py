@@ -214,6 +214,12 @@ def _q_incremental_agg(sf_dir: str):
     return q_incremental_agg(sf_dir)
 
 
+def _q_events_funnel(sf_dir: str):
+    from kazu_ray.extras.funnel import q_events_funnel
+
+    return q_events_funnel(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -663,6 +669,10 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # token-count state, never rescans the base); exact parity vs
         # a direct recompute over the post-delta doc set
         "incremental_agg": _q_incremental_agg,
+        # ordered funnel conversion (strict-after step semantics,
+        # integer-timestamp comparisons — no tie seam); exact SQL
+        # parity via the nested-MIN oracle
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -744,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.phrase import phrase_search_oracle_sql
     from kazu_ray.extras.audit import constraint_audit_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
+    from kazu_ray.extras.funnel import events_funnel_oracle_sql
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
         anchor_texts_oracle_sql,
@@ -779,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": phrase_search_oracle_sql(),
         "constraint_audit": constraint_audit_oracle_sql(),
         "incremental_agg": incremental_agg_oracle_sql(),
+        "events_funnel": events_funnel_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

@@ -224,7 +224,9 @@ def run_bench() -> dict:
                  # Deequ-style FK/range/not-null constraint audit
                  "constraint_audit",
                  # incremental aggregate maintenance (delta merge)
-                 "incremental_agg"):
+                 "incremental_agg",
+                 # ordered funnel conversion
+                 "events_funnel"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))

@@ -1,0 +1,133 @@
+"""Ordered funnel analysis — per-user multi-step conversion counts
+(the product-analytics primitive behind "signup → view → click →
+purchase" dashboards; each step must occur STRICTLY AFTER the user's
+first completion of the previous step).
+
+Semantics (the standard first-touch funnel): t_1 = the user's earliest
+step-1 event; t_k = the earliest step-k event with ts > t_{k-1}; the
+user completes step k iff t_k exists.  Comparisons are on raw
+microsecond timestamps with (ts, event_id) never needed — strict
+greater-than on integers is unambiguous, so cross-engine results are
+bit-exact with no float or tie seam.
+
+Distributed shape: one groupby(user_id) exchange (the
+events_sessions per-key contract), then a vectorised per-user pass —
+per step, ``np.searchsorted`` over that user's sorted per-type
+timestamp array finds the earliest qualifying event in O(log n).  The
+output is one row per funnel step with the completing-user count:
+per-block partial counts are additive (a user lives in exactly one
+group), so the final fold is a ≤|steps| row reduce.
+
+Exact SQL oracle: nested MIN-after-previous-step subqueries, one per
+step, UNION ALL'd — row-for-row.
+
+Reference scope note: KAZU has no event analytics; training-data
+family (SURVEY.md §2l), composing with extras/windows.py's
+sessionization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+FUNNEL_SCHEMA = pa.schema(
+    [
+        ("step_no", pa.int64()),
+        ("step", pa.string()),
+        ("n_users", pa.int64()),
+    ]
+)
+
+
+def _user_depth(g) -> int:
+    """Funnel depth (0..len(FUNNEL_STEPS)) for one user's events."""
+    by_type: dict[str, np.ndarray] = {}
+    for et, ts in zip(g["event_type"].to_numpy(), g["ts_us"].to_numpy()):
+        by_type.setdefault(et, []).append(ts)
+    for et in list(by_type):
+        by_type[et] = np.sort(np.asarray(by_type[et], dtype=np.int64))
+    t_prev = -(1 << 62)
+    depth = 0
+    for step in FUNNEL_STEPS:
+        arr = by_type.get(step)
+        if arr is None:
+            break
+        # earliest event of this type STRICTLY after t_prev
+        i = int(np.searchsorted(arr, t_prev, side="right"))
+        if i >= len(arr):
+            break
+        t_prev = int(arr[i])
+        depth += 1
+    return depth
+
+
+def q_events_funnel(sf_dir: str):
+    """Query surface: (step_no, step, n_users) — users completing each
+    ordered funnel step.  Exact SQL parity via the nested-MIN oracle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "ts_us", pc.cast(t.column("ts"), pa.int64())
+        ).drop_columns(["ts"]),
+        batch_format="pyarrow",
+    )
+
+    def per_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        depth = _user_depth(g)
+        # one partial row per step the user completed
+        return pd.DataFrame(
+            {
+                "step_no": np.arange(1, depth + 1, dtype=np.int64),
+                "n": np.ones(depth, dtype=np.int64),
+            }
+        )
+
+    partials = ds.groupby("user_id").map_groups(per_group, batch_format="pandas")
+    counts = partials.groupby("step_no").sum("n").to_pandas()  # <= |steps| rows
+    by = dict(zip(counts["step_no"], counts["sum(n)"]))
+    # steps no user reached still get a row (count 0), like the oracle
+    return pa.table(
+        {
+            "step_no": pa.array(
+                range(1, len(FUNNEL_STEPS) + 1), type=pa.int64()
+            ),
+            "step": pa.array(list(FUNNEL_STEPS)),
+            "n_users": pa.array(
+                [int(by.get(k, 0)) for k in range(1, len(FUNNEL_STEPS) + 1)],
+                type=pa.int64(),
+            ),
+        },
+        schema=FUNNEL_SCHEMA,
+    )
+
+
+def events_funnel_oracle_sql() -> str:
+    steps = FUNNEL_STEPS
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for k in range(2, len(steps) + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            f"JOIN s{k - 1} p ON e.user_id = p.user_id AND e.ts > p.t "
+            f"WHERE e.event_type = '{steps[k - 1]}' GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT {k} AS step_no, '{steps[k - 1]}' AS step, "
+        f"(SELECT COUNT(*) FROM s{k})::BIGINT AS n_users"
+        for k in range(1, len(steps) + 1)
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step_no"
+    )

@@ -1,0 +1,72 @@
+"""Ordered funnel (extras/funnel.py): strict-after semantics on
+crafted users (out-of-order steps do NOT count, ties excluded by
+strict >), zero-count step rows, and SQL parity on the corpus."""
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kazu_ray.extras.funnel import events_funnel_oracle_sql, q_events_funnel
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(df: pd.DataFrame) -> pd.DataFrame:
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got = q_events_funnel(d).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        exp = con.execute(events_funnel_oracle_sql()).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        return got
+
+
+def _events(rows):
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "event_type": [r[2] for r in rows],
+        }
+    )
+
+
+def test_strict_ordering_semantics(ray_session):
+    df = _events(
+        [
+            # user 1: full ordered funnel
+            (1, 10, "signup"), (1, 20, "view"), (1, 30, "click"),
+            (1, 40, "purchase"),
+            # user 2: purchase BEFORE click -> depth stops at view... but
+            # a later click exists, with no purchase after it -> depth 3
+            (2, 10, "signup"), (2, 20, "view"), (2, 25, "purchase"),
+            (2, 30, "click"),
+            # user 3: view at the SAME instant as signup -> strict >
+            # excludes it; depth 1
+            (3, 10, "signup"), (3, 10, "view"),
+            # user 4: never signed up -> depth 0 despite later steps
+            (4, 10, "view"), (4, 20, "click"), (4, 30, "purchase"),
+        ]
+    )
+    got = _run(df)
+    by = dict(zip(got["step_no"], got["n_users"]))
+    assert by == {1: 3, 2: 2, 3: 2, 4: 1}
+
+
+def test_corpus_parity(ray_session):
+    got = q_events_funnel(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(events_funnel_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_users"] > 0).all()
