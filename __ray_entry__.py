@@ -220,6 +220,12 @@ def _q_events_funnel(sf_dir: str):
     return q_events_funnel(sf_dir)
 
 
+def _q_orders_mad(sf_dir: str):
+    from kazu_ray.extras.exact_quantiles import q_orders_mad
+
+    return q_orders_mad(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -673,6 +679,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # integer-timestamp comparisons — no tie seam); exact SQL
         # parity via the nested-MIN oracle
         "events_funnel": _q_events_funnel,
+        # exact median absolute deviation (two order-stat passes, the
+        # second over the in-block |x - med| column); exact SQL parity
+        "orders_mad": _q_orders_mad,
     }
 
 
@@ -746,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
     from kazu_ray.extras.exact_quantiles import (
+        orders_mad_oracle_sql,
         orders_ntile_oracle_sql,
         orders_percentiles_oracle_sql,
     )
@@ -791,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_audit": constraint_audit_oracle_sql(),
         "incremental_agg": incremental_agg_oracle_sql(),
         "events_funnel": events_funnel_oracle_sql(),
+        "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
         "neardup_components": neardup_components_oracle_sql(),

@@ -315,3 +315,52 @@ def orders_ntile_oracle_sql(k: int = 10) -> str:
         FROM orders
         ORDER BY o_orderkey
     """
+
+
+def q_orders_mad(sf_dir: str):
+    """EXACT median absolute deviation (the robust scale estimator:
+    MAD = median(|x - median(x)|)) — two passes of the histogram-
+    bisection order-statistic engine, the second over the derived
+    |x - med| column computed in-block.  |x - med| is a single float64
+    subtraction identical on both engines and PERCENTILE_DISC returns
+    a MEMBER of the derived values, so parity is exact with no
+    rounding seam."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    ).materialize()
+    lo, hi, n = _minmax_count(ds, "o_totalprice")
+    rank = max(1, int(np.ceil(0.5 * n)))
+    med = lo if lo == hi else _resolve_rank(ds, "o_totalprice", lo, hi, rank)
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(v - med), pa.float64())})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow").materialize()
+    dlo, dhi, _ = _minmax_count(devs, "dev")
+    mad = dlo if dlo == dhi else _resolve_rank(devs, "dev", dlo, dhi, rank)
+    return pa.Table.from_pandas(
+        pd.DataFrame({"stat": ["mad", "median"], "value": [mad, med]}),
+        preserve_index=False,
+    )
+
+
+def orders_mad_oracle_sql() -> str:
+    return """
+        WITH m AS (
+          SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS med
+          FROM orders
+        )
+        SELECT 'mad' AS stat,
+               (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP
+                       (ORDER BY ABS(o_totalprice - m.med))
+                FROM orders, m) AS value
+        FROM m
+        UNION ALL
+        SELECT 'median' AS stat, med AS value FROM m
+        ORDER BY stat
+    """

@@ -108,3 +108,22 @@ def test_ntile_nondivisible_and_heavy_ties(ray_session):
         f" AS bucket FROM t ORDER BY key"
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_mad_oracle_parity(ray_session):
+    import duckdb
+
+    from kazu_ray.extras.exact_quantiles import (
+        orders_mad_oracle_sql,
+        q_orders_mad,
+    )
+
+    got = q_orders_mad(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    exp = con.execute(orders_mad_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    mad = got.loc[got["stat"] == "mad", "value"].iloc[0]
+    assert mad > 0
