@@ -226,6 +226,12 @@ def _q_orders_mad(sf_dir: str):
     return q_orders_mad(sf_dir)
 
 
+def _q_events_retention(sf_dir: str):
+    from kazu_ray.extras.funnel import q_events_retention
+
+    return q_events_retention(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -682,6 +688,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # exact median absolute deviation (two order-stat passes, the
         # second over the in-block |x - med| column); exact SQL parity
         "orders_mad": _q_orders_mad,
+        # cohort retention matrix (integer week arithmetic, additive
+        # per-user distinct-week partials); exact SQL parity
+        "events_retention": _q_events_retention,
     }
 
 
@@ -764,7 +773,10 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.phrase import phrase_search_oracle_sql
     from kazu_ray.extras.audit import constraint_audit_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
-    from kazu_ray.extras.funnel import events_funnel_oracle_sql
+    from kazu_ray.extras.funnel import (
+        events_funnel_oracle_sql,
+        events_retention_oracle_sql,
+    )
     from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
     from kazu_ray.extras.html_extract import (
         anchor_texts_oracle_sql,
@@ -801,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_audit": constraint_audit_oracle_sql(),
         "incremental_agg": incremental_agg_oracle_sql(),
         "events_funnel": events_funnel_oracle_sql(),
+        "events_retention": events_retention_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -75,7 +75,8 @@ def q_events_funnel(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     ).map_batches(
         lambda t: t.append_column(
-            "ts_us", pc.cast(t.column("ts"), pa.int64())
+            "ts_us",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
         ).drop_columns(["ts"]),
         batch_format="pyarrow",
     )
@@ -131,3 +132,95 @@ def events_funnel_oracle_sql() -> str:
         + " UNION ALL ".join(selects)
         + " ORDER BY step_no"
     )
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users are cohorted by the week of
+    their FIRST event; cell (cohort_week, week_offset) counts cohort
+    users with at least one event ``offset`` weeks later.  All
+    arithmetic is integer floor-division on microsecond timestamps —
+    bit-exact cross-engine.
+
+    Shape: the same groupby(user_id) exchange as the funnel; each user
+    emits its distinct (cohort_week, week_offset) pairs (bounded by
+    the corpus time span), which are additive counts under one small
+    groupby-sum."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                # normalize to microseconds first: parquet written by
+                # pandas carries timestamp[ns], the corpus is [us]
+                "week": pc.divide(
+                    pc.cast(
+                        pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+                    ),
+                    pa.scalar(WEEK_US),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        weeks = np.unique(g["week"].to_numpy())
+        w0 = int(weeks[0])
+        return pd.DataFrame(
+            {
+                "cohort_week": np.full(len(weeks), w0, dtype=np.int64),
+                "week_offset": weeks - w0,
+                "n": np.ones(len(weeks), dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.cast(
+            pa.schema(
+                [
+                    ("cohort_week", pa.int64()),
+                    ("week_offset", pa.int64()),
+                    ("n_users", pa.int64()),
+                ]
+            )
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        ["cohort_week", "week_offset"]
+    )
+
+
+def events_retention_oracle_sql() -> str:
+    return f"""
+        WITH weeks AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // {WEEK_US} AS w
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, MIN(w) AS w0 FROM weeks GROUP BY user_id
+        )
+        SELECT CAST(f.w0 AS BIGINT) AS cohort_week,
+               CAST(a.w - f.w0 AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM weeks a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

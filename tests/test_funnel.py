@@ -70,3 +70,61 @@ def test_corpus_parity(ray_session):
     exp = con.execute(events_funnel_oracle_sql()).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["n_users"] > 0).all()
+
+
+def test_retention_multi_cohort(ray_session):
+    """Crafted three-cohort corpus: offsets count DISTINCT active
+    weeks per user relative to the user's first week."""
+    from kazu_ray.extras.funnel import (
+        WEEK_US,
+        events_retention_oracle_sql,
+        q_events_retention,
+    )
+
+    def at_week(w, frac=0.5):
+        return pd.to_datetime(int((w + frac) * WEEK_US), unit="us")
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": [
+                at_week(0), at_week(0, 0.9), at_week(2),  # u1: w0 twice, w2
+                at_week(1), at_week(2),                   # u2: w1, w2
+                at_week(2),                               # u3: w2 only
+            ],
+            "event_type": ["view"] * 6,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got = q_events_retention(d).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        exp = con.execute(events_retention_oracle_sql()).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    cells = {
+        (r.cohort_week, r.week_offset): r.n_users for r in got.itertuples()
+    }
+    # u1 cohort w0 active at offsets {0, 2} (w0 counted ONCE)
+    assert cells[(0, 0)] == 1 and cells[(0, 2)] == 1 and (0, 1) not in cells
+    assert cells[(1, 0)] == 1 and cells[(1, 1)] == 1
+    assert cells[(2, 0)] == 1
+
+
+def test_retention_corpus_parity(ray_session):
+    from kazu_ray.extras.funnel import (
+        events_retention_oracle_sql,
+        q_events_retention,
+    )
+
+    got = q_events_retention(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(events_retention_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
