@@ -232,6 +232,12 @@ def _q_events_retention(sf_dir: str):
     return q_events_retention(sf_dir)
 
 
+def _q_source_ols(sf_dir: str):
+    from kazu_ray.extras.regression import q_source_ols
+
+    return q_source_ols(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -691,6 +697,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # cohort retention matrix (integer week arithmetic, additive
         # per-user distinct-week partials); exact SQL parity
         "events_retention": _q_events_retention,
+        # grouped exact OLS from integer moment partials (bit-exact
+        # slope/intercept: identical float tree over exact int sums)
+        "source_ols": _q_source_ols,
     }
 
 
@@ -773,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.phrase import phrase_search_oracle_sql
     from kazu_ray.extras.audit import constraint_audit_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
+    from kazu_ray.extras.regression import source_ols_oracle_sql
     from kazu_ray.extras.funnel import (
         events_funnel_oracle_sql,
         events_retention_oracle_sql,
@@ -814,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg": incremental_agg_oracle_sql(),
         "events_funnel": events_funnel_oracle_sql(),
         "events_retention": events_retention_oracle_sql(),
+        "source_ols": source_ols_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),
