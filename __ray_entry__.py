@@ -238,6 +238,12 @@ def _q_source_ols(sf_dir: str):
     return q_source_ols(sf_dir)
 
 
+def _q_events_coverage(sf_dir: str):
+    from kazu_ray.extras.funnel import q_events_coverage
+
+    return q_events_coverage(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -700,6 +706,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # grouped exact OLS from integer moment partials (bit-exact
         # slope/intercept: identical float tree over exact int sums)
         "source_ols": _q_source_ols,
+        # interval-union coverage (gaps-and-islands sweep, integer
+        # microseconds); exact SQL window-function parity
+        "events_coverage": _q_events_coverage,
     }
 
 
@@ -784,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
     from kazu_ray.extras.regression import source_ols_oracle_sql
     from kazu_ray.extras.funnel import (
+        events_coverage_oracle_sql,
         events_funnel_oracle_sql,
         events_retention_oracle_sql,
     )
@@ -825,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": events_funnel_oracle_sql(),
         "events_retention": events_retention_oracle_sql(),
         "source_ols": source_ols_oracle_sql(),
+        "events_coverage": events_coverage_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -224,3 +224,107 @@ def events_retention_oracle_sql() -> str:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+INTERVAL_US = 5 * 60 * 1_000_000  # each event opens a 5-minute activity window
+
+
+def q_events_coverage(sf_dir: str):
+    """Interval-union coverage (gaps-and-islands): each event opens a
+    fixed 5-minute activity interval; per user, overlapping intervals
+    merge and the output is the total covered time plus the island
+    count — the sweep-line primitive behind "active minutes" metrics
+    and time-coverage dedup.
+
+    Vectorised sweep per user: sort by start, running maximum of ends
+    (np.maximum.accumulate), an island starts where start > the
+    previous running max; island lengths sum from exact integer
+    microseconds — bit-exact cross-engine.  One groupby(user_id)
+    exchange, same contract as the funnel."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s": pc.cast(
+                    pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def sweep(g: "pd.DataFrame") -> "pd.DataFrame":
+        s = np.sort(g["s"].to_numpy().astype(np.int64))
+        e = s + INTERVAL_US
+        # prev_max[i] = max end among intervals before i (exclusive)
+        run = np.maximum.accumulate(e)
+        new_island = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            new_island[1:] = s[1:] > run[:-1]
+        starts = np.nonzero(new_island)[0]
+        ends = np.append(starts[1:], len(s))
+        covered = 0
+        for a, b in zip(starts, ends):
+            covered += int(run[b - 1]) - int(s[a])
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "covered_us": [covered],
+                "n_islands": [len(starts)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("covered_us", pa.int64()),
+                    ("n_islands", pa.int64()),
+                ]
+            )
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def events_coverage_oracle_sql() -> str:
+    return f"""
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {INTERVAL_US} AS e
+            FROM events
+        ),
+        o AS (
+            SELECT user_id, s, e,
+                   MAX(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM iv
+        ),
+        isl AS (
+            SELECT user_id, s, e,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                   ) AS island
+            FROM o
+        ),
+        g AS (
+            SELECT user_id, island, MAX(e) - MIN(s) AS len
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us,
+               CAST(COUNT(*) AS BIGINT) AS n_islands
+        FROM g GROUP BY user_id ORDER BY user_id
+    """

@@ -128,3 +128,57 @@ def test_retention_corpus_parity(ray_session):
     )
     exp = con.execute(events_retention_oracle_sql()).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_coverage_gaps_and_islands(ray_session):
+    """Crafted stream: overlapping intervals merge, a gap splits
+    islands, totals are exact integer microseconds."""
+    from kazu_ray.extras.funnel import (
+        INTERVAL_US,
+        events_coverage_oracle_sql,
+        q_events_coverage,
+    )
+
+    m = INTERVAL_US  # 5 min
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [0, m // 2, 3 * m, 10 * m], unit="us"
+            ),
+            "event_type": ["view"] * 4,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got = q_events_coverage(d).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        exp = con.execute(events_coverage_oracle_sql()).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    u1 = got[got["user_id"] == 1].iloc[0]
+    # island A: [0, m/2 + m) merged = 1.5m; island B: [3m, 4m) = m
+    assert u1["n_islands"] == 2
+    assert u1["covered_us"] == (m // 2 + m) + m
+    u2 = got[got["user_id"] == 2].iloc[0]
+    assert u2["n_islands"] == 1 and u2["covered_us"] == m
+
+
+def test_coverage_corpus_parity(ray_session):
+    from kazu_ray.extras.funnel import (
+        events_coverage_oracle_sql,
+        q_events_coverage,
+    )
+
+    got = q_events_coverage(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(events_coverage_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_islands"] >= 1).all()
