@@ -225,8 +225,10 @@ def run_bench() -> dict:
                  "constraint_audit",
                  # incremental aggregate maintenance (delta merge)
                  "incremental_agg",
-                 # ordered funnel conversion
-                 "events_funnel"):
+                 # ordered funnel conversion, retention cohorts,
+                 # interval-union coverage, grouped OLS, exact MAD
+                 "events_funnel", "events_retention", "events_coverage",
+                 "source_ols", "orders_mad"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))
