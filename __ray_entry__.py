@@ -244,6 +244,18 @@ def _q_events_coverage(sf_dir: str):
     return q_events_coverage(sf_dir)
 
 
+def _q_source_mode(sf_dir: str):
+    from kazu_ray.extras.text_analysis import q_source_mode
+
+    return q_source_mode(sf_dir)
+
+
+def _q_bool_retrieval(sf_dir: str):
+    from kazu_ray.extras.phrase import q_bool_retrieval
+
+    return q_bool_retrieval(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -709,6 +721,11 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # interval-union coverage (gaps-and-islands sweep, integer
         # microseconds); exact SQL window-function parity
         "events_coverage": _q_events_coverage,
+        # group-wise MODE with deterministic tie-break; exact SQL parity
+        "source_mode": _q_source_mode,
+        # conjunctive boolean retrieval (zero-shuffle AND queries);
+        # exact SQL parity
+        "bool_retrieval": _q_bool_retrieval,
     }
 
 
@@ -767,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.text_analysis import (
         bpe_token_count_oracle_sql,
         json_props_oracle_sql,
+        source_mode_oracle_sql,
         tfidf_keywords_oracle_sql,
     )
     from kazu_ray.extras.quality import (
@@ -788,7 +806,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from kazu_ray.extras.itemsets import frequent_pairs_oracle_sql
     from kazu_ray.extras.linkage import name_matches_oracle_sql
-    from kazu_ray.extras.phrase import phrase_search_oracle_sql
+    from kazu_ray.extras.phrase import (
+        bool_retrieval_oracle_sql,
+        phrase_search_oracle_sql,
+    )
     from kazu_ray.extras.audit import constraint_audit_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
     from kazu_ray.extras.regression import source_ols_oracle_sql
@@ -836,6 +857,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": events_retention_oracle_sql(),
         "source_ols": source_ols_oracle_sql(),
         "events_coverage": events_coverage_oracle_sql(),
+        "source_mode": source_mode_oracle_sql(),
+        "bool_retrieval": bool_retrieval_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -134,3 +134,76 @@ def phrase_search_oracle_sql() -> str:
         {union}
         ORDER BY phrase, doc_id
     """
+
+
+# fixed conjunctive (AND) query workloads; the last can never match
+BOOL_QUERIES: tuple[tuple[str, ...], ...] = (
+    ("table", "merge"),
+    ("hash", "join", "sort"),
+    ("zebra",),
+)
+
+
+def q_bool_retrieval(sf_dir: str):
+    """Conjunctive boolean retrieval (IR AND queries): for each fixed
+    term set, the documents containing EVERY term.  Documents are
+    row-local, so the membership check is a zero-shuffle in-block set
+    test over the pruned token vocabulary; the persisted-index variant
+    (token->doc postings intersect) is the amortized repeated-query
+    path and shares extras/retrieval.py's postings machinery.
+
+    Exact SQL parity: DISTINCT token join + HAVING COUNT = |terms|."""
+    import polars as pl
+    import ray.data as rd
+
+    qtokens = {w for q in BOOL_QUERIES for w in q}
+
+    def match(t: pa.Table) -> pa.Table:
+        toks = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .with_columns(
+                tok=pl.col("text").str.to_lowercase().str.extract_all(_TOKEN_RE)
+            )
+            .select("doc_id", "tok")
+        )
+        rows = []
+        for did, words in zip(
+            toks.get_column("doc_id").to_list(),
+            toks.get_column("tok").to_list(),
+        ):
+            present = qtokens.intersection(words)
+            for q in BOOL_QUERIES:
+                if all(w in present for w in q):
+                    rows.append({"query": " AND ".join(q), "doc_id": did})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("query", pa.string()), ("doc_id", pa.int64())]),
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(match, batch_format="pyarrow")
+        .sort(["query", "doc_id"])
+    )
+
+
+def bool_retrieval_oracle_sql() -> str:
+    parts = []
+    for q in BOOL_QUERIES:
+        terms = ", ".join(f"'{w}'" for w in q)
+        parts.append(
+            f"""
+            SELECT '{" AND ".join(q)}' AS query, doc_id
+            FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           regexp_extract_all(lower(text), '{_TOKEN_RE}')
+                       )) AS tok
+                FROM documents
+            )
+            WHERE tok IN ({terms})
+            GROUP BY doc_id
+            HAVING COUNT(DISTINCT tok) = {len(q)}
+            """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query, doc_id"

@@ -380,3 +380,90 @@ def tfidf_keywords_oracle_sql(k: int = TFIDF_TOP_K) -> str:
         FROM ranked WHERE rank <= {k}
         ORDER BY doc_id, rank
     """
+
+
+def q_source_mode(sf_dir: str):
+    """Group-wise MODE: the most frequent token per source, with the
+    deterministic (count DESC, token ASC) tie-break — the categorical
+    "dominant value per group" primitive (dominant language / label /
+    domain per bucket).
+
+    Combiner-first: in-block (source, token) counts, one groupby-sum
+    on the pair key, then a per-source argmax — the argmax input is
+    vocabulary-bounded per group, so the final map_groups touches
+    O(|vocab|) rows per source, never corpus rows.  Exact integer
+    counts + total tie-break = exact SQL parity."""
+    import polars as pl
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select(["source", "text"]))
+            .with_columns(
+                tok=pl.col("text").str.to_lowercase().str.extract_all(_TFIDF_WORD_RE)
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .group_by("source", "tok")
+            .len()
+            .with_columns(n=pl.col("len").cast(pl.Int64))
+            .select("source", "tok", "n")
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("source", pa.string()), ("tok", pa.string()), ("n", pa.int64())]
+            )
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(g):
+        import pandas as pd
+
+        g = g.sort_values(["n", "tok"], ascending=[False, True])
+        top = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "source": [top["source"]],
+                "mode_tok": [top["tok"]],
+                "n": [int(top["n"])],
+            }
+        )
+
+    return (
+        counts.groupby("source")
+        .map_groups(argmax, batch_format="pandas")
+        .sort("source")
+    )
+
+
+def source_mode_oracle_sql() -> str:
+    return f"""
+        WITH counts AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '{_TFIDF_WORD_RE}'))
+                           AS tok
+                FROM documents
+            )
+            GROUP BY source, tok
+        ),
+        ranked AS (
+            SELECT source, tok, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, tok ASC
+                   ) AS rk
+            FROM counts
+        )
+        SELECT source, tok AS mode_tok, n
+        FROM ranked WHERE rk = 1
+        ORDER BY source
+    """

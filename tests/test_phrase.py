@@ -51,3 +51,42 @@ def test_oracle_parity_and_zero_hit_phrase(ray_session):
     # the planted never-occurring phrase is absent on both engines
     assert "zebra quasar" not in set(got["phrase"])
     assert any(len(p) == 3 for p in PHRASES)  # 3-word arity exercised
+
+
+def test_bool_retrieval_semantics_and_parity(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from kazu_ray.extras.phrase import (
+        bool_retrieval_oracle_sql,
+        q_bool_retrieval,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "table then merge later",  # matches table AND merge
+                "table only here",  # missing merge
+                "merge sort hash join table",  # matches both AND queries
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        got = q_bool_retrieval(d).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        exp = con.execute(bool_retrieval_oracle_sql()).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    hits = set(zip(got["query"], got["doc_id"]))
+    assert ("table AND merge", 1) in hits
+    assert ("table AND merge", 3) in hits
+    assert ("table AND merge", 2) not in hits
+    assert ("hash AND join AND sort", 3) in hits
+    assert not any(q == "zebra" for q, _ in hits)

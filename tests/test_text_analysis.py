@@ -56,3 +56,37 @@ def test_json_props_extraction_edges():
         "(SELECT unnest(['{\"k\": 7}', '{\"other\": 1}', '{\"k\": -13}']) AS props)"
     ).fetchall()]
     assert got == [7, None, -13]
+
+
+def test_source_mode_tie_break(ray_session):
+    """Deterministic tie-break: equal counts resolve to the
+    lexicographically smaller token on both engines."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from kazu_ray.extras.text_analysis import (
+        q_source_mode,
+        source_mode_oracle_sql,
+    )
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b"],
+            "text": ["zz yy", "yy zz", "solo"],  # a: yy==zz tie -> yy
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        got = q_source_mode(d).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        exp = con.execute(source_mode_oracle_sql()).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by = dict(zip(got["source"], got["mode_tok"]))
+    assert by == {"a": "yy", "b": "solo"}
