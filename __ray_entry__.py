@@ -256,6 +256,12 @@ def _q_bool_retrieval(sf_dir: str):
     return q_bool_retrieval(sf_dir)
 
 
+def _q_weighted_percentiles(sf_dir: str):
+    from kazu_ray.extras.exact_quantiles import q_lineitem_weighted_percentiles
+
+    return q_lineitem_weighted_percentiles(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -726,6 +732,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # conjunctive boolean retrieval (zero-shuffle AND queries);
         # exact SQL parity
         "bool_retrieval": _q_bool_retrieval,
+        # exact weighted percentiles (integer-inequality thresholds,
+        # weighted histogram bisection); exact SQL parity
+        "weighted_percentiles": _q_weighted_percentiles,
     }
 
 
@@ -800,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.cluster import neardup_components_oracle_sql
 
     from kazu_ray.extras.exact_quantiles import (
+        lineitem_weighted_percentiles_oracle_sql,
         orders_mad_oracle_sql,
         orders_ntile_oracle_sql,
         orders_percentiles_oracle_sql,
@@ -859,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "events_coverage": events_coverage_oracle_sql(),
         "source_mode": source_mode_oracle_sql(),
         "bool_retrieval": bool_retrieval_oracle_sql(),
+        "weighted_percentiles": lineitem_weighted_percentiles_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -364,3 +364,152 @@ def orders_mad_oracle_sql() -> str:
         SELECT 'median' AS stat, med AS value FROM m
         ORDER BY stat
     """
+
+
+def _w_minmax_tot(ds, vcol: str, wcol: str):
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(vcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.rint(
+            t.column(wcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+                "hi": pa.array([float(v.max()) if len(v) else -np.inf]),
+                "w": pa.array([int(w.sum())], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return (
+        min(r["lo"] for r in rows),
+        max(r["hi"] for r in rows),
+        sum(r["w"] for r in rows),
+    )
+
+
+def _w_bucket_sums(ds, vcol, wcol, lo, hi):
+    width = (hi - lo) / N_BUCKETS
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(vcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.rint(
+            t.column(wcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, N_BUCKETS - 1)
+        sums = np.zeros(N_BUCKETS, dtype=np.int64)
+        np.add.at(sums, idx, w)
+        return pa.table({"sums": pa.array([sums.tolist()])})
+
+    out = np.zeros(N_BUCKETS, dtype=np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out += np.asarray(r["sums"], dtype=np.int64)
+    return out
+
+
+def _resolve_wrank(
+    ds, vcol: str, wcol: str, lo: float, hi: float,
+    target_num: int, target_den: int, w_offset: int, w_total: int,
+    depth: int = 0,
+):
+    """Smallest value v whose cumulative weight cw (over the GLOBAL
+    sorted order; ``w_offset`` = weight strictly below ``lo``)
+    satisfies den*cw >= num*W_total — all integer comparisons, no
+    float threshold."""
+    sums = _w_bucket_sums(ds, vcol, wcol, lo, hi)
+    cum = np.cumsum(sums) + w_offset
+    crossing = target_den * cum >= target_num * w_total
+    b = int(np.argmax(crossing))
+    below = int(cum[b - 1]) if b else w_offset
+    width = (hi - lo) / N_BUCKETS
+    n_b, v_lo, v_hi = _bucket_stats(ds, vcol, lo, hi, width, b)
+    if v_lo == v_hi:
+        return v_lo
+    if n_b <= PULL_CAP:
+        vals, ws = [], []
+
+        def filt(t: pa.Table) -> pa.Table:
+            v = t.column(vcol).to_numpy(zero_copy_only=False).astype(np.float64)
+            w = np.rint(
+                t.column(wcol).to_numpy(zero_copy_only=False).astype(np.float64)
+            ).astype(np.int64)
+            m = _bucket_mask(v, lo, hi, width, b)
+            return pa.table(
+                {"v": pa.array(v[m], pa.float64()), "w": pa.array(w[m], pa.int64())}
+            )
+
+        for batch in ds.map_batches(filt, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            vals.append(batch.column("v").to_numpy(zero_copy_only=False))
+            ws.append(batch.column("w").to_numpy(zero_copy_only=False))
+        v = np.concatenate(vals) if vals else np.empty(0)
+        w = np.concatenate(ws).astype(np.int64) if ws else np.empty(0, np.int64)
+        order = np.argsort(v, kind="stable")
+        cw = np.cumsum(w[order]) + below
+        i = int(np.argmax(target_den * cw >= target_num * w_total))
+        return float(v[order][i])
+    if depth >= MAX_DEPTH:
+        raise RuntimeError("weighted percentile did not localize")
+    return _resolve_wrank(
+        ds, vcol, wcol, v_lo, v_hi, target_num, target_den, below, w_total,
+        depth + 1,
+    )
+
+
+def q_lineitem_weighted_percentiles(sf_dir: str):
+    """EXACT weighted percentiles (quantity-weighted p50/p90/p99 of
+    l_extendedprice): the histogram-bisection engine with WEIGHT sums
+    per bucket, thresholds as pure integer inequalities
+    ``den*cw >= num*W`` — no float threshold seam.  The weighted
+    median is the standard importance-weighted corpus statistic
+    (per-token cost percentiles over doc weights)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity"],
+    ).materialize()
+    lo, hi, w_total = _w_minmax_tot(ds, "l_extendedprice", "l_quantity")
+    rows = []
+    for num, den in ((1, 2), (9, 10), (99, 100)):
+        v = (
+            lo
+            if lo == hi
+            else _resolve_wrank(
+                ds, "l_extendedprice", "l_quantity", lo, hi, num, den, 0,
+                w_total,
+            )
+        )
+        rows.append({"p": num / den, "value": v})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def lineitem_weighted_percentiles_oracle_sql() -> str:
+    selects = []
+    for num, den in ((1, 2), (9, 10), (99, 100)):
+        selects.append(
+            f"""
+            SELECT {num / den} AS p,
+                   (SELECT MIN(v) FROM s, tot
+                    WHERE {den} * cw >= {num} * tot.w) AS value
+            """
+        )
+    return (
+        """
+        WITH tot AS (
+            SELECT SUM(CAST(l_quantity AS BIGINT)) AS w FROM lineitem
+        ),
+        s AS (
+            SELECT l_extendedprice AS v,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       ORDER BY l_extendedprice
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cw
+            FROM lineitem
+        )
+        """
+        + " UNION ALL ".join(selects)
+        + " ORDER BY p"
+    )

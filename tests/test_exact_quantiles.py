@@ -127,3 +127,34 @@ def test_mad_oracle_parity(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     mad = got.loc[got["stat"] == "mad", "value"].iloc[0]
     assert mad > 0
+
+
+def test_weighted_percentiles_parity_and_semantics(ray_session):
+    import duckdb
+    import numpy as np
+
+    from kazu_ray.extras.exact_quantiles import (
+        lineitem_weighted_percentiles_oracle_sql,
+        q_lineitem_weighted_percentiles,
+    )
+
+    got = q_lineitem_weighted_percentiles(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    )
+    exp = con.execute(lineitem_weighted_percentiles_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+    # semantics vs a brute-force weighted quantile on the full column
+    df = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_quantity"])
+    v = df["l_extendedprice"].to_numpy()
+    w = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    cw = np.cumsum(w[order])
+    W = int(w.sum())
+    for p_row in got.itertuples():
+        num, den = {0.5: (1, 2), 0.9: (9, 10), 0.99: (99, 100)}[p_row.p]
+        i = int(np.argmax(den * cw >= num * W))
+        assert p_row.value == float(v[order][i])
