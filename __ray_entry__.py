@@ -262,6 +262,12 @@ def _q_weighted_percentiles(sf_dir: str):
     return q_lineitem_weighted_percentiles(sf_dir)
 
 
+def _q_url_hierarchy(sf_dir: str):
+    from kazu_ray.extras.urls import q_url_hierarchy
+
+    return q_url_hierarchy(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -735,6 +741,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # exact weighted percentiles (integer-inequality thresholds,
         # weighted histogram bisection); exact SQL parity
         "weighted_percentiles": _q_weighted_percentiles,
+        # URL hierarchy rollup (per-prefix doc counts, level-vectorised
+        # prefix expansion over the canonicalizer); exact SQL parity
+        "url_hierarchy": _q_url_hierarchy,
     }
 
 
@@ -828,7 +837,11 @@ def oracle_sql() -> dict[str, str]:
         events_funnel_oracle_sql,
         events_retention_oracle_sql,
     )
-    from kazu_ray.extras.urls import domain_cap_oracle_sql, url_canonical_oracle_sql
+    from kazu_ray.extras.urls import (
+        domain_cap_oracle_sql,
+        url_canonical_oracle_sql,
+        url_hierarchy_oracle_sql,
+    )
     from kazu_ray.extras.html_extract import (
         anchor_texts_oracle_sql,
         html_extract_oracle_sql,
@@ -870,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mode": source_mode_oracle_sql(),
         "bool_retrieval": bool_retrieval_oracle_sql(),
         "weighted_percentiles": lineitem_weighted_percentiles_oracle_sql(),
+        "url_hierarchy": url_hierarchy_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

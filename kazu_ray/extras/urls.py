@@ -282,3 +282,92 @@ def domain_cap_oracle_sql(cap: int = DOMAIN_CAP) -> str:
     QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= {cap}
     ORDER BY doc_id
     """
+
+
+def q_url_hierarchy(sf_dir: str):
+    """URL hierarchy rollup (crawl-stats primitive): document counts
+    at EVERY host/path prefix level of the canonical URL
+    (``host``, ``host/seg1``, ``host/seg1/seg2`` ...).
+
+    Vectorised by LEVEL, not by row: after canonicalization the
+    host+path splits once, then one polars slice/join expression per
+    depth level emits that level's prefixes for all rows at once —
+    per-doc prefixes are distinct by construction, so one
+    groupby(prefix) count is the exact distinct-doc rollup.  Exchange
+    rows are bounded by (distinct prefixes x blocks)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(batch).with_columns(url=messy_url_expr())
+        canon = pl.from_arrow(
+            canonicalize_batch(df.select("doc_id", "url").to_arrow())
+        )
+        parts = (
+            canon.with_columns(
+                hp=pl.col("canonical_url")
+                .str.replace(r"^[a-z]+://", "")
+                .str.replace(r"\?.*$", "")
+            )
+            .with_columns(parts=pl.col("hp").str.split("/"))
+            .select("doc_id", "parts")
+        )
+        max_depth = int(parts.get_column("parts").list.len().max() or 0)
+        levels = []
+        for k in range(1, max_depth + 1):
+            levels.append(
+                parts.filter(pl.col("parts").list.len() >= k).select(
+                    "doc_id",
+                    prefix=pl.col("parts").list.slice(0, k).list.join("/"),
+                )
+            )
+        out = pl.concat(levels) if levels else parts.select(
+            "doc_id", prefix=pl.lit(None, dtype=pl.String)
+        ).head(0)
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("prefix", pa.string())])
+        )
+
+    counts = (
+        ds.map_batches(prefixes, batch_format="pyarrow")
+        .groupby("prefix")
+        .count()
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["prefix", "n_docs"]).cast(
+            pa.schema([("prefix", pa.string()), ("n_docs", pa.int64())])
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow").sort("prefix")
+
+
+def url_hierarchy_oracle_sql() -> str:
+    return f"""
+    WITH {_URLS_CTE}, {_CANON_SQL},
+    base AS (
+      SELECT doc_id,
+             regexp_replace(
+                 regexp_replace(canonical_url, '^[a-z]+://', ''),
+                 '\\?.*$', ''
+             ) AS hp
+      FROM canon
+    ),
+    segs AS (
+      SELECT doc_id, string_split(hp, '/') AS parts FROM base
+    ),
+    ks AS (
+      SELECT doc_id, parts,
+             unnest(range(1, len(parts) + 1)) AS k
+      FROM segs
+    ),
+    pref AS (
+      SELECT doc_id, array_to_string(parts[1:k], '/') AS prefix FROM ks
+    )
+    SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pref GROUP BY prefix ORDER BY prefix
+    """

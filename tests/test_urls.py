@@ -110,3 +110,26 @@ def test_parity_sf0001(ray_session):
     # the cap must actually bite on this corpus
     assert len(got_cap) < len(got)
     assert got_cap.groupby("domain").size().max() == DOMAIN_CAP
+
+
+def test_url_hierarchy_parity_and_levels(ray_session):
+    import duckdb
+
+    from kazu_ray.extras.urls import q_url_hierarchy, url_hierarchy_oracle_sql
+
+    got = q_url_hierarchy("/root/testdata/sf0.001").to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp = con.execute(url_hierarchy_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # host-level rows aggregate their children: every 2-level prefix's
+    # count is <= its host's count
+    hosts = dict(
+        zip(got["prefix"], got["n_docs"])
+    )
+    two_level = got[got["prefix"].str.count("/") == 1]
+    for p, n in zip(two_level["prefix"], two_level["n_docs"]):
+        assert n <= hosts[p.split("/")[0]]
