@@ -228,7 +228,11 @@ def run_bench() -> dict:
                  # ordered funnel conversion, retention cohorts,
                  # interval-union coverage, grouped OLS, exact MAD
                  "events_funnel", "events_retention", "events_coverage",
-                 "source_ols", "orders_mad"):
+                 "source_ols", "orders_mad",
+                 # group mode, boolean retrieval, weighted percentiles,
+                 # URL hierarchy rollup
+                 "source_mode", "bool_retrieval",
+                 "weighted_percentiles", "url_hierarchy"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))
