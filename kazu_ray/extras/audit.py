@@ -59,30 +59,33 @@ FK_CHECKS = (
     ("fk_orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
 )
 
-# (name, table, SQL predicate for a VIOLATION, arrow predicate builder)
+# (name, table, column, SQL predicate for a VIOLATION, arrow predicate)
 RULE_CHECKS = (
     (
         "notnull_documents_text",
         "documents",
+        "text",
         "text IS NULL",
         lambda t: pc.is_null(t.column("text")),
     ),
     (
         "range_events_value_cap",
         "events",
+        "value",
         "value > 400",
         lambda t: pc.greater(t.column("value"), pa.scalar(400.0)),
     ),
     (
         "range_orders_totalprice_pos",
         "orders",
+        "o_totalprice",
         "o_totalprice <= 0",
         lambda t: pc.less_equal(t.column("o_totalprice"), pa.scalar(0.0)),
     ),
 )
 
 
-def _count_totals(ds, key_cols):
+def _count_totals(ds):
     """Fold a dataset of (n, viol) partial rows into two ints."""
     tot = ds.sum(["n", "viol"])
     return int(tot["sum(n)"]), int(tot["sum(viol)"])
@@ -109,21 +112,36 @@ def _fk_violations(
     n_parents = parents.count()
     child = rd.read_parquet(f"{sf_dir}/{child_table}.parquet", columns=[child_key])
 
+    if n_parents == 0:
+        # empty parent snapshot: every child row violates; an empty
+        # dataset also has no schema for the anti-join to consume
+        n_rows = child.count()
+        return n_rows, n_rows
+
     if n_parents <= broadcast_max_parent:
-        keys = np.sort(
-            pa.concat_tables(
-                parents.iter_batches(batch_format="pyarrow", batch_size=None)
-            )
-            .column(parent_key)
-            .to_numpy(zero_copy_only=False)
+        batches = list(
+            parents.iter_batches(batch_format="pyarrow", batch_size=None)
         )
+        if batches:
+            keys = np.sort(
+                pa.concat_tables(batches)
+                .column(parent_key)
+                .to_numpy(zero_copy_only=False)
+            )
+        else:  # EMPTY parent table: every child row is a violation
+            keys = np.empty(0, dtype=np.int64)
         keys_ref = ray.put(keys)
 
         def partial(t: pa.Table) -> pa.Table:
             ks = ray.get(keys_ref)
             v = t.column(child_key).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(ks, v)
-            hit = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == v)
+            if len(ks):
+                idx = np.searchsorted(ks, v)
+                hit = (idx < len(ks)) & (
+                    ks[np.minimum(idx, len(ks) - 1)] == v
+                )
+            else:
+                hit = np.zeros(len(v), dtype=bool)
             return pa.table(
                 {
                     "n": pa.array([len(v)], pa.int64()),
@@ -132,7 +150,7 @@ def _fk_violations(
             )
 
         partials = child.map_batches(partial, batch_format="pyarrow")
-        return _count_totals(partials, None)
+        return _count_totals(partials)
 
     # partitioned exact path: left_anti join, count survivors
     # (hash_join keys are int64 by contract; cast both sides)
@@ -174,8 +192,9 @@ def q_constraint_audit(
         )
         rows.append((name, n, viol))
 
-    for name, table, _sql_pred, arrow_pred in RULE_CHECKS:
-        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet")
+    for name, table, col, _sql_pred, arrow_pred in RULE_CHECKS:
+        # prune the read to the ONE column the check touches
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
 
         def partial(t: pa.Table, pred=arrow_pred) -> pa.Table:
             bad = pred(t)
@@ -189,7 +208,7 @@ def q_constraint_audit(
             )
 
         n, viol = _count_totals(
-            ds.map_batches(partial, batch_format="pyarrow"), None
+            ds.map_batches(partial, batch_format="pyarrow")
         )
         rows.append((name, n, viol))
 
@@ -212,7 +231,7 @@ def constraint_audit_oracle_sql() -> str:
                     WHERE p.{parent_k} IS NULL)::BIGINT AS n_violations
             """
         )
-    for name, table, sql_pred, _arrow_pred in RULE_CHECKS:
+    for name, table, _col, sql_pred, _arrow_pred in RULE_CHECKS:
         parts.append(
             f"""
             SELECT '{name}' AS constraint_name,

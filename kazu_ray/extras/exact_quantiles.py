@@ -270,7 +270,12 @@ def exact_ntile(ds, k: int, col: str, tiebreak: str):
         raise ValueError(f"ntile needs n >= k (n={n}, k={k})")
     q, r = divmod(n, k)
     ends = [j * q + min(j, r) for j in range(1, k)]
-    vals_at = _resolve_ranks(ds, col, lo, hi, ends)
+    # constant column: every boundary VALUE is lo and the tie pass
+    # resolves the order entirely on the tiebreak key
+    if lo == hi:
+        vals_at = {t: lo for t in ends}
+    else:
+        vals_at = _resolve_ranks(ds, col, lo, hi, ends)
     bvals = np.array([vals_at[t] for t in ends], dtype=np.float64)
     n_below, ties = _tie_info(ds, col, tiebreak, bvals)
     btbs = np.array(
@@ -396,6 +401,11 @@ def _w_bucket_sums(ds, vcol, wcol, lo, hi):
         w = np.rint(
             t.column(wcol).to_numpy(zero_copy_only=False).astype(np.float64)
         ).astype(np.int64)
+        # restrict to the active range: on the recursion path rows
+        # outside [lo, hi] are already accounted for by w_offset and
+        # MUST NOT clip into the edge buckets
+        m = (v >= lo) & (v <= hi)
+        v, w = v[m], w[m]
         idx = np.clip(((v - lo) / width).astype(np.int64), 0, N_BUCKETS - 1)
         sums = np.zeros(N_BUCKETS, dtype=np.int64)
         np.add.at(sums, idx, w)

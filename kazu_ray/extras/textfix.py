@@ -108,7 +108,11 @@ def inject(doc_id: int, text: str) -> tuple[str, str, int]:
     truth = text.translate(_ACCENTS)
     if doc_id % 6 != 0:
         return truth, truth, 0
+    # vowel-free text stays ASCII after the accent pass, so the
+    # mis-decode is a no-op — count only rounds that actually corrupt
     corrupted = _corrupt_once(truth)
+    if corrupted == truth:
+        return truth, truth, 0
     rounds = 1
     if doc_id % 12 == 0:
         corrupted = _corrupt_once(corrupted)

@@ -62,3 +62,22 @@ def test_planted_fk_violations_counted(ray_session):
         )
         # odd custkeys vanished + 3 planted bad keys
         assert viol["fk_orders_custkey"] > 3
+
+
+def test_empty_parent_table_counts_all_children(ray_session):
+    """An empty parent snapshot (the catastrophic-ingest case the
+    audit exists for) must report every child row as a violation, on
+    both routing paths — regression: the broadcast path crashed."""
+    with tempfile.TemporaryDirectory() as d:
+        for t in TABLES:
+            df = pd.read_parquet(f"{SF}/{t}.parquet")
+            if t == "nation":
+                df = df.iloc[0:0]
+            df.to_parquet(os.path.join(d, f"{t}.parquet"))
+        exp = _oracle(d)
+        got_b = q_constraint_audit(d).to_pandas()
+        got_a = q_constraint_audit(d, broadcast_max_parent=-1).to_pandas()
+        pd.testing.assert_frame_equal(got_b, exp, check_dtype=False)
+        pd.testing.assert_frame_equal(got_a, exp, check_dtype=False)
+        row = got_b[got_b["constraint_name"] == "fk_customer_nationkey"].iloc[0]
+        assert row["n_violations"] == row["n_rows"] > 0

@@ -158,3 +158,63 @@ def test_weighted_percentiles_parity_and_semantics(ray_session):
         num, den = {0.5: (1, 2), 0.9: (9, 10), 0.99: (99, 100)}[p_row.p]
         i = int(np.argmax(den * cw >= num * W))
         assert p_row.value == float(v[order][i])
+
+
+def test_weighted_percentile_recursion_path(ray_session):
+    """PULL_CAP exceeded in the target bucket forces recursion; rows
+    OUTSIDE the refined range must not contaminate the sub-histogram
+    (regression: _w_bucket_sums used to clip them into edge buckets)."""
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.extras import exact_quantiles as eq
+
+    rng = np.random.default_rng(11)
+    below = np.full(2000, 10.0)
+    cluster = rng.choice(np.linspace(100.0, 100.9, 50), size=400)
+    above = np.full(2000, 500.0)
+    v = np.concatenate([below, cluster, above])
+    w = np.ones(len(v), dtype=np.int64)
+    df = pd.DataFrame({"v": v, "w": w})
+    ds = rd.from_pandas(df).repartition(4).materialize()
+
+    old_cap = eq.PULL_CAP
+    eq.PULL_CAP = 100  # force the cluster bucket past the cap
+    try:
+        lo, hi, W = eq._w_minmax_tot(ds, "v", "w")
+        got = eq._resolve_wrank(ds, "v", "w", lo, hi, 1, 2, 0, W)
+    finally:
+        eq.PULL_CAP = old_cap
+    order = np.argsort(v, kind="stable")
+    cw = np.cumsum(w[order])
+    expect = float(v[order][int(np.argmax(2 * cw >= W))])
+    assert got == expect
+
+
+def test_ntile_constant_column(ray_session):
+    """A constant value column is valid input (the tiebreak key is the
+    total order); regression: used to crash on width == 0."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.extras.exact_quantiles import exact_ntile
+
+    df = pd.DataFrame(
+        {"key": np.arange(50, dtype=np.int64), "val": np.full(50, 7.0)}
+    )
+    ds = rd.from_pandas(df).repartition(4).materialize()
+    got = (
+        exact_ntile(ds, 5, "val", "key")
+        .select_columns(["key", "bucket"])
+        .sort("key")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT key, CAST(NTILE(5) OVER (ORDER BY val, key) AS BIGINT)"
+        " AS bucket FROM t ORDER BY key"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

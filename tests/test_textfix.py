@@ -69,3 +69,11 @@ def test_distributed_recovery_gate(ray_session):
     m = q_textfix_gate(SF).iloc[0]
     assert bool(m["passes"]), m.to_dict()
     assert m["recovered_frac"] == 1.0 and m["n_docs"] == 500
+
+
+def test_inject_vowel_free_text_counts_zero_rounds():
+    # regression: the mis-decode is a no-op on text whose accent pass
+    # leaves it ASCII; rounds_injected must be 0, not 1/2
+    for did in (6, 12):
+        truth, corrupted, rounds = inject(did, "123 !! xyz")
+        assert rounds == 0 and corrupted == truth
