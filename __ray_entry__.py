@@ -268,6 +268,12 @@ def _q_url_hierarchy(sf_dir: str):
     return q_url_hierarchy(sf_dir)
 
 
+def _q_source_distinct_tokens(sf_dir: str):
+    from kazu_ray.extras.text_analysis import q_source_distinct_tokens
+
+    return q_source_distinct_tokens(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -744,6 +750,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # URL hierarchy rollup (per-prefix doc counts, level-vectorised
         # prefix expansion over the canonicalizer); exact SQL parity
         "url_hierarchy": _q_url_hierarchy,
+        # EXACT per-group distinct counts (the exact counterpart of
+        # hll_group_distinct); exact SQL parity
+        "source_distinct_tokens": _q_source_distinct_tokens,
     }
 
 
@@ -802,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.text_analysis import (
         bpe_token_count_oracle_sql,
         json_props_oracle_sql,
+        source_distinct_tokens_oracle_sql,
         source_mode_oracle_sql,
         tfidf_keywords_oracle_sql,
     )
@@ -884,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_retrieval": bool_retrieval_oracle_sql(),
         "weighted_percentiles": lineitem_weighted_percentiles_oracle_sql(),
         "url_hierarchy": url_hierarchy_oracle_sql(),
+        "source_distinct_tokens": source_distinct_tokens_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

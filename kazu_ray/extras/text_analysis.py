@@ -467,3 +467,63 @@ def source_mode_oracle_sql() -> str:
         FROM ranked WHERE rk = 1
         ORDER BY source
     """
+
+
+def q_source_distinct_tokens(sf_dir: str):
+    """EXACT distinct token count per source — the exact counterpart
+    of the groupwise-HLL estimate (hll_group_distinct), for the
+    group-cardinality scales where exactness is affordable.
+
+    Combiner-first: blocks emit their DISTINCT (source, token) pairs
+    (vocabulary-bounded per block), one pair-keyed groupby dedupes
+    globally, then a per-source count — the exchange carries distinct
+    pairs per block, never token occurrences."""
+    import polars as pl
+    import pyarrow as pa
+    import ray.data as rd
+
+    def pairs(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select(["source", "text"]))
+            .with_columns(
+                tok=pl.col("text").str.to_lowercase().str.extract_all(_TFIDF_WORD_RE)
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .unique(subset=["source", "tok"])
+            .select("source", "tok")
+        )
+        return out.to_arrow().cast(
+            pa.schema([("source", pa.string()), ("tok", pa.string())])
+        )
+
+    deduped = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .count()
+        .select_columns(["source", "tok"])
+    )
+    counts = deduped.groupby("source").count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["source", "n_distinct"]).cast(
+            pa.schema([("source", pa.string()), ("n_distinct", pa.int64())])
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def source_distinct_tokens_oracle_sql() -> str:
+    return f"""
+        SELECT source,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+        FROM (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '{_TFIDF_WORD_RE}'))
+                       AS tok
+            FROM documents
+        )
+        GROUP BY source
+        ORDER BY source
+    """
