@@ -274,6 +274,12 @@ def _q_source_distinct_tokens(sf_dir: str):
     return q_source_distinct_tokens(sf_dir)
 
 
+def _q_funnel_latency(sf_dir: str):
+    from kazu_ray.extras.funnel import q_funnel_latency
+
+    return q_funnel_latency(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -753,6 +759,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # EXACT per-group distinct counts (the exact counterpart of
         # hll_group_distinct); exact SQL parity
         "source_distinct_tokens": _q_source_distinct_tokens,
+        # median step-to-step conversion latency (funnel x exact
+        # order statistics); exact SQL parity
+        "funnel_latency": _q_funnel_latency,
     }
 
 
@@ -846,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         events_coverage_oracle_sql,
         events_funnel_oracle_sql,
         events_retention_oracle_sql,
+        funnel_latency_oracle_sql,
     )
     from kazu_ray.extras.urls import (
         domain_cap_oracle_sql,
@@ -895,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_percentiles": lineitem_weighted_percentiles_oracle_sql(),
         "url_hierarchy": url_hierarchy_oracle_sql(),
         "source_distinct_tokens": source_distinct_tokens_oracle_sql(),
+        "funnel_latency": funnel_latency_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -56,6 +56,8 @@ def _minmax_count(ds, col: str) -> tuple[float, float, int]:
         )
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:  # dataset with zero blocks (e.g. an empty filter)
+        return np.inf, -np.inf, 0
     return (
         min(r["lo"] for r in rows),
         max(r["hi"] for r in rows),

@@ -328,3 +328,118 @@ def events_coverage_oracle_sql() -> str:
                CAST(COUNT(*) AS BIGINT) AS n_islands
         FROM g GROUP BY user_id ORDER BY user_id
     """
+
+
+def q_funnel_latency(sf_dir: str):
+    """Median step-to-step conversion latency: for each funnel step
+    k >= 2, the EXACT median of (t_k - t_{k-1}) in integer
+    microseconds over users completing step k — the "how long does
+    conversion take" companion to the funnel counts.
+
+    Per-user step times come from the same groupby(user_id) pass as
+    the funnel; each per-step median is then resolved by the
+    histogram-bisection order-statistic engine over the (step_no, dt)
+    dataset (PERCENTILE_DISC semantics: the median is a member of the
+    dt values, so parity has no rounding seam)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .exact_quantiles import _minmax_count, _resolve_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "ts_us",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        ).drop_columns(["ts"]),
+        batch_format="pyarrow",
+    )
+
+    def per_user_dts(g: "pd.DataFrame") -> "pd.DataFrame":
+        by_type: dict[str, np.ndarray] = {}
+        for et, ts in zip(g["event_type"].to_numpy(), g["ts_us"].to_numpy()):
+            by_type.setdefault(et, []).append(ts)
+        for et in list(by_type):
+            by_type[et] = np.sort(np.asarray(by_type[et], dtype=np.int64))
+        t_prev = -(1 << 62)
+        rows = []
+        for k, step in enumerate(FUNNEL_STEPS, start=1):
+            arr = by_type.get(step)
+            if arr is None:
+                break
+            i = int(np.searchsorted(arr, t_prev, side="right"))
+            if i >= len(arr):
+                break
+            t_k = int(arr[i])
+            if k >= 2:
+                rows.append({"step_no": k, "dt": t_k - t_prev})
+            t_prev = t_k
+        return pd.DataFrame(rows, columns=["step_no", "dt"])
+
+    dts = (
+        ds.groupby("user_id")
+        .map_groups(per_user_dts, batch_format="pandas")
+        .materialize()
+    )
+
+    out = []
+    for k in range(2, len(FUNNEL_STEPS) + 1):
+        step_ds = dts.filter(expr=f"step_no == {k}").materialize()
+        lo, hi, n = _minmax_count(step_ds, "dt")
+        if n == 0:
+            # no completers: the row still appears (NULL median), like
+            # the oracle's empty PERCENTILE_DISC subquery
+            med = None
+        elif lo == hi:
+            med = int(lo)
+        else:
+            rank = max(1, int(np.ceil(0.5 * n)))
+            med = int(_resolve_rank(step_ds, "dt", lo, hi, rank))
+        out.append(
+            {
+                "step_no": k,
+                "step": FUNNEL_STEPS[k - 1],
+                "n_users": n,
+                "median_dt_us": med,
+            }
+        )
+    df = pd.DataFrame(
+        out, columns=["step_no", "step", "n_users", "median_dt_us"]
+    ).astype(
+        {"step_no": "int64", "n_users": "int64", "median_dt_us": "Int64"}
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def funnel_latency_oracle_sql() -> str:
+    steps = FUNNEL_STEPS
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for k in range(2, len(steps) + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            f"JOIN s{k - 1} p ON e.user_id = p.user_id AND e.ts > p.t "
+            f"WHERE e.event_type = '{steps[k - 1]}' GROUP BY e.user_id)"
+        )
+    selects = []
+    for k in range(2, len(steps) + 1):
+        selects.append(
+            f"""
+            SELECT {k} AS step_no, '{steps[k - 1]}' AS step,
+                   (SELECT COUNT(*) FROM s{k})::BIGINT AS n_users,
+                   (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (
+                        ORDER BY epoch_us(c.t) - epoch_us(p.t))
+                    FROM s{k} c JOIN s{k - 1} p USING (user_id)
+                   )::BIGINT AS median_dt_us
+            """
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step_no"
+    )

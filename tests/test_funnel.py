@@ -182,3 +182,47 @@ def test_coverage_corpus_parity(ray_session):
     exp = con.execute(events_coverage_oracle_sql()).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["n_islands"] >= 1).all()
+
+
+def test_funnel_latency_parity_and_crafted(ray_session):
+    """Median inter-step latencies: exact vs the nested-CTE +
+    PERCENTILE_DISC oracle, and a crafted stream where the medians are
+    hand-computable."""
+    from kazu_ray.extras.funnel import (
+        funnel_latency_oracle_sql,
+        q_funnel_latency,
+    )
+
+    # crafted: three users, signup->view gaps of 10s, 20s, 30s
+    df = _events(
+        [
+            (1, 0, "signup"), (1, 10, "view"),
+            (2, 0, "signup"), (2, 20, "view"),
+            (3, 0, "signup"), (3, 30, "view"),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got = q_funnel_latency(d).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        exp = con.execute(funnel_latency_oracle_sql()).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    row2 = got[got["step_no"] == 2].iloc[0]
+    assert row2["n_users"] == 3 and row2["median_dt_us"] == 20_000_000
+    # steps 3-4 have no completers: rows present with NULL medians
+    assert got[got["step_no"] == 3]["n_users"].iloc[0] == 0
+    assert pd.isna(got[got["step_no"] == 3]["median_dt_us"].iloc[0])
+
+    # corpus parity
+    got = q_funnel_latency(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(funnel_latency_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

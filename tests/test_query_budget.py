@@ -32,4 +32,4 @@ def test_recorded_window_composition(ray_session):
     ]
 
     # everything stays registered and callable past the window
-    assert len(names) == len(set(names)) >= 108
+    assert len(names) == len(set(names)) >= 109
