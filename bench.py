@@ -232,7 +232,9 @@ def run_bench() -> dict:
                  # group mode, boolean retrieval, weighted percentiles,
                  # URL hierarchy rollup
                  "source_mode", "bool_retrieval",
-                 "weighted_percentiles", "url_hierarchy"):
+                 "weighted_percentiles", "url_hierarchy",
+                 # exact per-group distinct counts, funnel latencies
+                 "source_distinct_tokens", "funnel_latency"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))
