@@ -202,6 +202,12 @@ def _q_phrase_search(sf_dir: str):
     return q_phrase_search(sf_dir)
 
 
+def _q_image_dhash(sf_dir: str):
+    from kazu_ray.extras.imagehash import q_image_dhash
+
+    return q_image_dhash(sf_dir)
+
+
 def _q_constraint_audit(sf_dir: str):
     from kazu_ray.extras.audit import q_constraint_audit
 
@@ -280,6 +286,18 @@ def _q_funnel_latency(sf_dir: str):
     return q_funnel_latency(sf_dir)
 
 
+def _q_zorder_stats(sf_dir: str):
+    from kazu_ray.extras.zorder import q_zorder_stats
+
+    return q_zorder_stats(sf_dir)
+
+
+def _q_annotator_agreement(sf_dir: str):
+    from kazu_ray.extras.agreement import q_annotator_agreement
+
+    return q_annotator_agreement(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -336,6 +354,7 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         q_range_join,
     )
     from kazu_ray.extras.multimodal import q_media_features, q_media_metadata, q_video_frames
+
     from kazu_ray.extras.similarity import (
         q_ann_topk,
         q_ivf_topk,
@@ -552,6 +571,11 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "media_metadata": q_media_metadata,
         "video_frames": q_video_frames,
         "media_features": q_media_features,
+        # image perceptual-hash near-dup (real PNG/JPEG decodes in the
+        # actor pool); correctness driver-recorded via the
+        # imagehash_path_equal / imagehash_pairs_exact /
+        # imagehash_planted_recall rows of approx_metrics
+        "image_dhash": _q_image_dhash,
         # Past the driver's 50-query budget (moved in round 5, gates
         # stay driver-recorded via approx_metrics rows — see comments at
         # their former in-budget slots above):
@@ -762,13 +786,19 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # median step-to-step conversion latency (funnel x exact
         # order statistics); exact SQL parity
         "funnel_latency": _q_funnel_latency,
+        # Z-order/Morton layout clustering stats (data-layout op for
+        # min/max scan pruning); exact DuckDB oracle below
+        "zorder_stats": _q_zorder_stats,
+        # Cohen's kappa inter-annotator agreement (Label Studio
+        # companion); exact DuckDB oracle below
+        "annotator_agreement": _q_annotator_agreement,
     }
 
 
 # The driver records the FIRST 50 queries() entries in CORRECTNESS_r{N}.
 # This list pins that window deliberately: the 6 essential rows-only
 # surfaces (flagship KG outputs + the transformer golden eval + the
-# consolidated 63-row gate table) followed by 44 DuckDB-oracle-checked
+# consolidated 66-row gate table) followed by 44 DuckDB-oracle-checked
 # queries — the maximum oracle density the budget allows.  Everything
 # past the window stays registered, pytest-oracle-checked
 # (test_oracle_parity covers ALL oracle_sql entries) and/or gated
@@ -849,6 +879,8 @@ def oracle_sql() -> dict[str, str]:
         phrase_search_oracle_sql,
     )
     from kazu_ray.extras.audit import constraint_audit_oracle_sql
+    from kazu_ray.extras.zorder import zorder_oracle_sql
+    from kazu_ray.extras.agreement import agreement_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
     from kazu_ray.extras.regression import source_ols_oracle_sql
     from kazu_ray.extras.funnel import (
@@ -906,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
         "url_hierarchy": url_hierarchy_oracle_sql(),
         "source_distinct_tokens": source_distinct_tokens_oracle_sql(),
         "funnel_latency": funnel_latency_oracle_sql(),
+        "zorder_stats": zorder_oracle_sql(),
+        "annotator_agreement": agreement_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -234,7 +234,14 @@ def run_bench() -> dict:
                  "source_mode", "bool_retrieval",
                  "weighted_percentiles", "url_hierarchy",
                  # exact per-group distinct counts, funnel latencies
-                 "source_distinct_tokens", "funnel_latency"):
+                 "source_distinct_tokens", "funnel_latency",
+                 # perceptual dHash over real PNG/JPEG decodes in the
+                 # actor pool (fixed-size planted corpus)
+                 "image_dhash",
+                 # Z-order/Morton layout clustering stats
+                 "zorder_stats",
+                 # Cohen's kappa annotator agreement
+                 "annotator_agreement"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))

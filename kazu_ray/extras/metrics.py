@@ -1598,6 +1598,27 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("cdc_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_textfix_gate(sf_dir).iloc[0]
     add("textfix_recovery", m["recovered_frac"], 1.0, m["passes"])
+    from .imagehash import q_imagehash_gate
+
+    m = q_imagehash_gate(sf_dir).iloc[0]
+    add(
+        "imagehash_path_equal",
+        1.0 if m["paths_equal"] else 0.0,
+        1.0,
+        m["paths_equal"],
+    )
+    add(
+        "imagehash_pairs_exact",
+        1.0 if m["pairs_equal"] else 0.0,
+        1.0,
+        m["pairs_equal"],
+    )
+    add(
+        "imagehash_planted_recall",
+        m["planted_recall"],
+        1.0,
+        m["planted_recall"] == 1.0,
+    )
     out = pd.DataFrame(rows, columns=["metric", "value", "gate", "passes"])
     _APPROX_CACHE[sf_dir] = out
     return out.copy()
