@@ -373,7 +373,7 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.extras.pca import q_pca_project
     from kazu_ray.extras.bpe import q_bpe_train
     from kazu_ray.extras.unigram import q_unigram_token_count, q_unigram_train
-    from kazu_ray.extras.graph import q_graph_khop, q_graph_triangles
+    from kazu_ray.extras.graph import q_graph_hits, q_graph_khop, q_graph_triangles
     from kazu_ray.extras.kgembed import q_kg_embeddings
     from kazu_ray.extras.kn_lm import q_kn_perplexity
     from kazu_ray.extras.chunk_dedup import q_chunk_dedup
@@ -628,6 +628,10 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # parity vs DuckDB's bounded recursive CTE is the khop_parity
         # row of approx_metrics.
         "graph_khop": q_graph_khop,
+        # HITS hubs/authorities (L2 power iteration, sparse dataset-
+        # native path); cross-engine parity vs the DuckDB replay is the
+        # hits_parity row of approx_metrics.
+        "graph_hits": q_graph_hits,
         # TransE KG embeddings trained over the derived relational
         # triple table (broadcast-params epochs, sparse gradient
         # partials); distributed-vs-reference equivalence and filtered
@@ -798,7 +802,7 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
 # The driver records the FIRST 50 queries() entries in CORRECTNESS_r{N}.
 # This list pins that window deliberately: the 6 essential rows-only
 # surfaces (flagship KG outputs + the transformer golden eval + the
-# consolidated 66-row gate table) followed by 44 DuckDB-oracle-checked
+# consolidated 67-row gate table) followed by 44 DuckDB-oracle-checked
 # queries — the maximum oracle density the budget allows.  Everything
 # past the window stays registered, pytest-oracle-checked
 # (test_oracle_parity covers ALL oracle_sql entries) and/or gated

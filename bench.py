@@ -238,6 +238,8 @@ def run_bench() -> dict:
                  # perceptual dHash over real PNG/JPEG decodes in the
                  # actor pool (fixed-size planted corpus)
                  "image_dhash",
+                 # HITS hubs/authorities over the layered graph
+                 "graph_hits",
                  # Z-order/Morton layout clustering stats
                  "zorder_stats",
                  # Cohen's kappa annotator agreement

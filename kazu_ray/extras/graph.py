@@ -893,3 +893,249 @@ def pagerank_duckdb(
         )
         con.execute("CREATE OR REPLACE TEMP TABLE _rank AS SELECT * FROM _next")
     return sorted(con.execute("SELECT node, rank FROM _rank").fetchall())
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999)
+# ---------------------------------------------------------------------------
+#
+# The mutual-reinforcement companion to PageRank: a node is a good HUB
+# if it points at good authorities, a good AUTHORITY if good hubs point
+# at it — the classic signal for link-graph curation (seed-page
+# selection, anchor-corpus weighting).  Fixed n_iter power iterations
+# with L2 normalization after every half-step (the textbook recurrence),
+# so the result is deterministic and cross-engine replayable.
+#
+# Same two-path shape as pagerank(): edge sets at or below
+# driver_threshold run the numpy recurrence on the driver; above it,
+# the dataset-native iteration — each half-step is ONE hash join
+# (edges x current scores) + ONE bounded groupby-sum + a scalar L2
+# norm, so per-iteration driver traffic is two floats regardless of
+# graph size.  Parallel edges count once per occurrence, matching the
+# DuckDB replay (hits_duckdb).
+
+HITS_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("hub", pa.float64()), ("authority", pa.float64())]
+)
+
+
+def _hits_driver(edges: pa.Table, n_iter: int) -> pa.Table:
+    import numpy as np
+
+    src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    h = np.ones(n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(n_iter):
+        a[:] = 0.0
+        np.add.at(a, di, h[si])
+        na = float(np.sqrt((a * a).sum())) or 1.0
+        a /= na
+        h[:] = 0.0
+        np.add.at(h, si, a[di])
+        nh = float(np.sqrt((h * h).sum())) or 1.0
+        h /= nh
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "hub": pa.array(h, pa.float64()),
+            "authority": pa.array(a, pa.float64()),
+        }
+    )
+
+
+def hits(
+    edges_ds,
+    n_iter: int = 5,
+    num_partitions: int = 16,
+    driver_threshold: int = 100_000,
+):
+    """HITS over an (src, dst) int64 edge Dataset → (node, hub,
+    authority).  The two paths agree to float64 summation round-off
+    (pinned in test_graph.py); DuckDB replaying the identical
+    recurrence matches to 1e-9 (hits_parity gate)."""
+    import numpy as np
+    import ray.data as rd
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(HITS_SCHEMA.empty_table())
+    if n_edges <= driver_threshold:
+        import ray
+
+        blocks = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        table = pa.concat_tables(blocks).combine_chunks()
+        return rd.from_arrow(_hits_driver(table, n_iter))
+
+    base = (
+        edges.select_columns(["src"])
+        .rename_columns({"src": "node"})
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "node"}))
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .materialize()
+    )
+    node_schema = pa.schema([("node", pa.int64())])
+    score_schema = pa.schema([("node", pa.int64()), ("score", pa.float64())])
+
+    def const_scores(val: float):
+        return base.map_batches(
+            lambda t, v=val: pa.table(
+                {
+                    "node": t.column("node"),
+                    "score": pa.array([v] * t.num_rows, pa.float64()),
+                }
+            ).cast(score_schema),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def half_step(scores, from_col: str, to_col: str):
+        """new(to) = L2-normalized sum over edges of current(from).
+        Scores stay SPARSE during iterations (nodes with raw 0 carry no
+        row — zeros contribute nothing to either the next join or the
+        norm); the final output zero-fills against the node base."""
+        send = scores.rename_columns({"node": "edge_key"})
+        contribs = hash_join(
+            edges,
+            send,
+            left_on=from_col,
+            right_on="edge_key",
+            num_partitions=num_partitions,
+            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            right_schema=pa.schema(
+                [("edge_key", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+        sums = (
+            contribs.groupby(to_col)
+            .sum("score")
+            .rename_columns({to_col: "node", "sum(score)": "raw"})
+            .materialize()
+        )
+        sq = sums.map_batches(
+            lambda t: pa.table(
+                {"s": pc.multiply(t.column("raw"), t.column("raw"))}
+            ),
+            batch_format="pyarrow",
+        ).sum("s", ignore_nulls=True)
+        norm = float(np.sqrt(sq or 0.0)) or 1.0
+        return sums.map_batches(
+            lambda t, nv=norm: pa.table(
+                {
+                    "node": t.column("node"),
+                    "score": pc.divide(t.column("raw"), pa.scalar(nv, pa.float64())),
+                }
+            ).cast(score_schema),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = const_scores(1.0)
+    auth = const_scores(0.0)
+    for _ in range(n_iter):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+
+    def fill(scores, col: str):
+        return hash_join(
+            base,
+            scores.rename_columns({"node": "s_node"}),
+            left_on="node",
+            right_on="s_node",
+            how="left_outer",
+            num_partitions=num_partitions,
+            left_schema=node_schema,
+            right_schema=pa.schema(
+                [("s_node", pa.int64()), ("score", pa.float64())]
+            ),
+        ).map_batches(
+            lambda t, c=col: pa.table(
+                {
+                    "node": t.column("node"),
+                    c: pc.fill_null(t.column("score"), 0.0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    merged = hash_join(
+        fill(hub, "hub"),
+        fill(auth, "authority").rename_columns({"node": "a_node"}),
+        left_on="node",
+        right_on="a_node",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.int64()), ("hub", pa.float64())]),
+        right_schema=pa.schema(
+            [("a_node", pa.int64()), ("authority", pa.float64())]
+        ),
+    )
+    return merged.map_batches(
+        lambda t: t.select(["node", "hub", "authority"]).cast(HITS_SCHEMA),
+        batch_format="pyarrow",
+    )
+
+
+def hits_duckdb(con, edges_sql: str, n_iter: int = 5):
+    """Ground-truth HITS in DuckDB: the identical fixed-iteration L2
+    recurrence.  Returns sorted (node, hub, authority) tuples."""
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _he AS {edges_sql}")
+    con.execute(
+        """
+        CREATE OR REPLACE TEMP TABLE _hn AS
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM _he UNION SELECT dst FROM _he)
+        """
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _h AS "
+        "SELECT node, CAST(1.0 AS DOUBLE) AS score FROM _hn"
+    )
+    for _ in range(n_iter):
+        for frm, to, out in (("src", "dst", "_a"), ("dst", "src", "_h")):
+            cur = "_h" if frm == "src" else "_a"
+            con.execute(
+                f"""
+                CREATE OR REPLACE TEMP TABLE _raw AS
+                SELECT n.node, COALESCE(c.s, 0) AS raw FROM _hn n
+                LEFT JOIN (
+                  SELECT e.{to} AS node, SUM(r.score) AS s
+                  FROM _he e JOIN {cur} r ON e.{frm} = r.node
+                  GROUP BY 1) c
+                USING (node)
+                """
+            )
+            norm = con.execute(
+                "SELECT sqrt(SUM(raw * raw)) FROM _raw"
+            ).fetchone()[0]
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE {out} AS "
+                f"SELECT node, raw / CAST(? AS DOUBLE) AS score FROM _raw",
+                [float(norm) or 1.0],
+            )
+    return sorted(
+        con.execute(
+            """
+            SELECT h.node, h.score AS hub, a.score AS authority
+            FROM _h h JOIN _a a USING (node)
+            """
+        ).fetchall()
+    )
+
+
+def q_graph_hits(sf_dir: str):
+    """Hub/authority scores over the layered directed graph (same
+    derivation as the PageRank gate).  Cross-engine parity with the
+    DuckDB L2 recurrence is the hits_parity row of approx_metrics
+    (this data surface sits past the driver's 50-query budget)."""
+    import pandas as pd
+
+    rows = hits(layered_edges(sf_dir)).take_all()
+    df = pd.DataFrame(rows).sort_values("node").reset_index(drop=True)
+    df["hub"] = df["hub"].round(9)
+    df["authority"] = df["authority"].round(9)
+    return df

@@ -552,6 +552,38 @@ def q_khop_parity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_hits_parity(sf_dir: str) -> pd.DataFrame:
+    """HITS parity: the fixed-iteration L2 recurrence vs DuckDB
+    replaying it over the same layered graph (the PageRank gate's
+    derivation).  Path equivalence (dataset-native vs driver) is
+    pinned separately in test_graph.py."""
+    import duckdb
+    import numpy as np
+
+    from .graph import hits, hits_duckdb, layered_edges, layered_edges_sql
+
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits(layered_edges(sf_dir)).take_all()
+    )
+    exp = hits_duckdb(duckdb.connect(), layered_edges_sql(sf_dir))
+    nodes_ok = [g[0] for g in got] == [e[0] for e in exp]
+    g = np.array([[x[1], x[2]] for x in got], dtype=np.float64)
+    e = np.array([[x[1], x[2]] for x in exp], dtype=np.float64)
+    max_err = float(np.abs(g - e).max()) if nodes_ok and len(g) else 1.0
+    norm_ok = (
+        abs(float((g[:, 0] ** 2).sum()) - 1.0) < 1e-9
+        and abs(float((g[:, 1] ** 2).sum()) - 1.0) < 1e-9
+    )
+    return pd.DataFrame(
+        {
+            "paths_equal": [bool(nodes_ok and norm_ok and max_err <= 1e-9)],
+            "max_err": [max_err],
+            "n_nodes": [len(got)],
+        }
+    )
+
+
 def q_transe_gate(sf_dir: str) -> pd.DataFrame:
     """TransE trainer gates over the derived relational KG:
 
@@ -1437,6 +1469,8 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("triangles_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_khop_parity(sf_dir).iloc[0]
     add("khop_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
+    m = q_hits_parity(sf_dir).iloc[0]
+    add("hits_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_transe_gate(sf_dir).iloc[0]
     add("transe_equiv_max_err", m["equiv_max_err"], 1e-9, m["equiv_max_err"] <= 1e-9)
     add("transe_hits1", m["hits1"], 0.8, m["hits1"] >= 0.8)

@@ -266,3 +266,73 @@ def test_khop_early_exit(ray_session):
         khop_distances(rd.from_arrow(edges), seeds=[1], k=5, driver_threshold=0)
     )
     assert got == [(1, 0), (2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_duckdb(ray_session):
+    from kazu_ray.extras.graph import hits, hits_duckdb
+
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits(_edges_ds(), n_iter=5).take_all()
+    )
+    exp = hits_duckdb(duckdb.connect(), EDGES_SQL, n_iter=5)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    assert np.allclose(
+        [[g[1], g[2]] for g in got], [[e[1], e[2]] for e in exp], atol=1e-9
+    )
+    # both vectors are unit L2 after the final normalization
+    assert abs(sum(g[1] ** 2 for g in got) - 1.0) < 1e-9
+    assert abs(sum(g[2] ** 2 for g in got) - 1.0) < 1e-9
+
+
+def test_hits_hand_graph(ray_session):
+    import ray.data as rd
+    from kazu_ray.extras.graph import hits
+
+    # bipartite star: 1..4 all point at 0; 1 also points at 5
+    edges = pa.table(
+        {
+            "src": pa.array([1, 2, 3, 4, 1], pa.int64()),
+            "dst": pa.array([0, 0, 0, 0, 5], pa.int64()),
+        }
+    )
+    rows = {r["node"]: r for r in hits(rd.from_arrow(edges), n_iter=20).take_all()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    # node 0 is the dominant authority, node 1 the dominant hub
+    assert rows[0]["authority"] == max(r["authority"] for r in rows.values())
+    assert rows[1]["hub"] == max(r["hub"] for r in rows.values())
+    # pure sources have zero authority, pure sinks zero hub
+    assert rows[1]["authority"] == 0.0 and rows[0]["hub"] == 0.0
+
+
+def test_hits_paths_equivalent(ray_session):
+    """Dataset-native sparse iteration == bounded driver recurrence."""
+    from kazu_ray.extras.graph import hits
+
+    a = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits(_edges_ds(), n_iter=2).take_all()
+    )
+    b = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits(
+            _edges_ds(), n_iter=2, driver_threshold=0, num_partitions=4
+        ).take_all()
+    )
+    assert [x[0] for x in a] == [x[0] for x in b]
+    assert np.allclose(
+        [[x[1], x[2]] for x in a], [[x[1], x[2]] for x in b], atol=1e-12
+    )
+
+
+def test_hits_empty(ray_session):
+    import ray.data as rd
+    from kazu_ray.extras.graph import HITS_SCHEMA, hits
+
+    out = hits(rd.from_arrow(HITS_SCHEMA.empty_table().select(["node"]).rename_columns(["src"]).append_column("dst", pa.array([], pa.int64()))))
+    assert out.count() == 0
