@@ -298,6 +298,12 @@ def _q_annotator_agreement(sf_dir: str):
     return q_annotator_agreement(sf_dir)
 
 
+def _q_nb_classifier(sf_dir: str):
+    from kazu_ray.extras.nb_text import q_nb_classifier
+
+    return q_nb_classifier(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -796,13 +802,18 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # Cohen's kappa inter-annotator agreement (Label Studio
         # companion); exact DuckDB oracle below
         "annotator_agreement": _q_annotator_agreement,
+        # supervised Naive-Bayes text classifier (trained on the
+        # source label): the FULL fit+classify path replays as one
+        # DuckDB statement — exact oracle below; train accuracy is
+        # additionally gated in approx_metrics (nb_train_accuracy)
+        "nb_classifier": _q_nb_classifier,
     }
 
 
 # The driver records the FIRST 50 queries() entries in CORRECTNESS_r{N}.
 # This list pins that window deliberately: the 6 essential rows-only
 # surfaces (flagship KG outputs + the transformer golden eval + the
-# consolidated 67-row gate table) followed by 44 DuckDB-oracle-checked
+# consolidated 68-row gate table) followed by 44 DuckDB-oracle-checked
 # queries — the maximum oracle density the budget allows.  Everything
 # past the window stays registered, pytest-oracle-checked
 # (test_oracle_parity covers ALL oracle_sql entries) and/or gated
@@ -885,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.audit import constraint_audit_oracle_sql
     from kazu_ray.extras.zorder import zorder_oracle_sql
     from kazu_ray.extras.agreement import agreement_oracle_sql
+    from kazu_ray.extras.nb_text import nb_classifier_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
     from kazu_ray.extras.regression import source_ols_oracle_sql
     from kazu_ray.extras.funnel import (
@@ -944,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": funnel_latency_oracle_sql(),
         "zorder_stats": zorder_oracle_sql(),
         "annotator_agreement": agreement_oracle_sql(),
+        "nb_classifier": nb_classifier_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -243,7 +243,9 @@ def run_bench() -> dict:
                  # Z-order/Morton layout clustering stats
                  "zorder_stats",
                  # Cohen's kappa annotator agreement
-                 "annotator_agreement"):
+                 "annotator_agreement",
+                 # supervised NB classifier: full fit+classify
+                 "nb_classifier"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))

@@ -1632,6 +1632,13 @@ def q_approx_metrics(sf_dir: str) -> pd.DataFrame:
     add("cdc_parity", 1.0 if m["paths_equal"] else 0.0, 1.0, m["paths_equal"])
     m = q_textfix_gate(sf_dir).iloc[0]
     add("textfix_recovery", m["recovered_frac"], 1.0, m["passes"])
+    # trained NB classifier learns real signal: train accuracy must
+    # beat 3x the 20-class majority baseline (exactness itself is the
+    # nb_classifier DuckDB oracle)
+    from .nb_text import q_nb_classifier
+
+    acc = float(q_nb_classifier(sf_dir).to_pandas()["correct"].mean())
+    add("nb_train_accuracy", acc, 0.15, acc >= 0.15)
     from .imagehash import q_imagehash_gate
 
     m = q_imagehash_gate(sf_dir).iloc[0]

@@ -7,7 +7,7 @@ def test_approx_metrics_all_pass(ray_session):
     from kazu_ray.extras.metrics import q_approx_metrics
 
     df = q_approx_metrics("/root/testdata/sf0.001")
-    assert len(df) == 67
+    assert len(df) == 68
     assert set(df.columns) == {"metric", "value", "gate", "passes"}
     failing = df[~df["passes"]]
     assert failing.empty, failing.to_string()
