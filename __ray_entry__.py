@@ -304,6 +304,12 @@ def _q_nb_classifier(sf_dir: str):
     return q_nb_classifier(sf_dir)
 
 
+def _q_ab_test(sf_dir: str):
+    from kazu_ray.extras.abtest import q_ab_test
+
+    return q_ab_test(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -807,6 +813,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # DuckDB statement — exact oracle below; train accuracy is
         # additionally gated in approx_metrics (nb_train_accuracy)
         "nb_classifier": _q_nb_classifier,
+        # two-proportion z-test experiment readout over events;
+        # exact DuckDB oracle below
+        "ab_test": _q_ab_test,
     }
 
 
@@ -897,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.zorder import zorder_oracle_sql
     from kazu_ray.extras.agreement import agreement_oracle_sql
     from kazu_ray.extras.nb_text import nb_classifier_oracle_sql
+    from kazu_ray.extras.abtest import ab_test_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
     from kazu_ray.extras.regression import source_ols_oracle_sql
     from kazu_ray.extras.funnel import (
@@ -957,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_stats": zorder_oracle_sql(),
         "annotator_agreement": agreement_oracle_sql(),
         "nb_classifier": nb_classifier_oracle_sql(),
+        "ab_test": ab_test_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -245,7 +245,9 @@ def run_bench() -> dict:
                  # Cohen's kappa annotator agreement
                  "annotator_agreement",
                  # supervised NB classifier: full fit+classify
-                 "nb_classifier"):
+                 "nb_classifier",
+                 # two-proportion z-test experiment readout
+                 "ab_test"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))

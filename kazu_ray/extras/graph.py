@@ -920,10 +920,12 @@ HITS_SCHEMA = pa.schema(
 
 
 def _hits_driver(edges: pa.Table, n_iter: int) -> pa.Table:
+    """Weighted recurrence over collapsed (src, dst, w) edges."""
     import numpy as np
 
     src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = edges.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
     nodes = np.unique(np.concatenate([src, dst]))
     si = np.searchsorted(nodes, src)
     di = np.searchsorted(nodes, dst)
@@ -932,11 +934,11 @@ def _hits_driver(edges: pa.Table, n_iter: int) -> pa.Table:
     a = np.zeros(n, dtype=np.float64)
     for _ in range(n_iter):
         a[:] = 0.0
-        np.add.at(a, di, h[si])
+        np.add.at(a, di, w * h[si])
         na = float(np.sqrt((a * a).sum())) or 1.0
         a /= na
         h[:] = 0.0
-        np.add.at(h, si, a[di])
+        np.add.at(h, si, w * a[di])
         nh = float(np.sqrt((h * h).sum())) or 1.0
         h /= nh
     return pa.table(
@@ -955,13 +957,33 @@ def hits(
     driver_threshold: int = 100_000,
 ):
     """HITS over an (src, dst) int64 edge Dataset → (node, hub,
-    authority).  The two paths agree to float64 summation round-off
-    (pinned in test_graph.py); DuckDB replaying the identical
-    recurrence matches to 1e-9 (hits_parity gate)."""
+    authority).  Parallel edges count once per occurrence, implemented
+    by collapsing the multigraph to weighted (src, dst, w) edges FIRST
+    (HITS contributions are linear in multiplicity) — on co-occurrence
+    graphs this shrinks the iterated table from edge-occurrence volume
+    to the distinct-pair count, usually orders of magnitude.  The two
+    paths agree to float64 summation round-off (pinned in
+    test_graph.py); DuckDB replaying the per-occurrence recurrence
+    matches to 1e-9 (hits_parity gate)."""
     import numpy as np
+    import pyarrow.compute as _pc
     import ray.data as rd
 
-    edges = edges_ds.materialize()
+    edges = (
+        edges_ds.groupby(["src", "dst"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "dst": t.column("dst"),
+                    "w": _pc.cast(t.column("count()"), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_arrow(HITS_SCHEMA.empty_table())
@@ -1007,10 +1029,20 @@ def hits(
             left_on=from_col,
             right_on="edge_key",
             num_partitions=num_partitions,
-            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            left_schema=pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.float64())]
+            ),
             right_schema=pa.schema(
                 [("edge_key", pa.int64()), ("score", pa.float64())]
             ),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    to_col: t.column(to_col),
+                    "score": pc.multiply(t.column("w"), t.column("score")),
+                }
+            ),
+            batch_format="pyarrow",
         )
         sums = (
             contribs.groupby(to_col)
