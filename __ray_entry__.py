@@ -310,6 +310,12 @@ def _q_ab_test(sf_dir: str):
     return q_ab_test(sf_dir)
 
 
+def _q_setsim_pairs(sf_dir: str):
+    from kazu_ray.extras.setsim import q_setsim_pairs
+
+    return q_setsim_pairs(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from kazu_ray.extras.passages import q_dup_passages
 
@@ -816,6 +822,9 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # two-proportion z-test experiment readout over events;
         # exact DuckDB oracle below
         "ab_test": _q_ab_test,
+        # prefix-filtered EXACT shingle-Jaccard self-join over the
+        # whole corpus (PPJoin-lite); exact DuckDB oracle below
+        "setsim_pairs": _q_setsim_pairs,
     }
 
 
@@ -907,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
     from kazu_ray.extras.agreement import agreement_oracle_sql
     from kazu_ray.extras.nb_text import nb_classifier_oracle_sql
     from kazu_ray.extras.abtest import ab_test_oracle_sql
+    from kazu_ray.extras.setsim import setsim_oracle_sql
     from kazu_ray.extras.incremental import incremental_agg_oracle_sql
     from kazu_ray.extras.regression import source_ols_oracle_sql
     from kazu_ray.extras.funnel import (
@@ -968,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "annotator_agreement": agreement_oracle_sql(),
         "nb_classifier": nb_classifier_oracle_sql(),
         "ab_test": ab_test_oracle_sql(),
+        "setsim_pairs": setsim_oracle_sql(),
         "orders_mad": orders_mad_oracle_sql(),
         "simhash": simhash_oracle_sql(),
         "minhash_candidates": minhash_oracle_sql(),

@@ -247,7 +247,9 @@ def run_bench() -> dict:
                  # supervised NB classifier: full fit+classify
                  "nb_classifier",
                  # two-proportion z-test experiment readout
-                 "ab_test"):
+                 "ab_test",
+                 # prefix-filtered exact shingle-Jaccard self-join
+                 "setsim_pairs"):
         try:
             raw, norm, samples = _timed_calibrated(
                 lambda n=name: _result_rows(q[n](SF_DIR))
