@@ -152,29 +152,35 @@ def setsim_join(ds, num_partitions: int = 8, broadcast_max: int = BROADCAST_MAX)
         df_ref = ray.put(df_map)
 
         class PrefixSelect:
+            """Vectorized in-block prefix selection: explode + one
+            columnar join against the broadcast df frame + window
+            rank — no Python per row."""
+
             def __init__(self, ref):
-                self.df = ray.get(ref)
+                dfm = ray.get(ref)
+                self.df_frame = pl.DataFrame(
+                    {"token": list(dfm.keys()),
+                     "df": list(dfm.values())}
+                ).with_columns(pl.col("df").cast(pl.Int64))
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                ids, toks, ns = [], [], []
-                for doc_id, words, n in zip(
-                    t.column("doc_id").to_pylist(),
-                    t.column("words").to_pylist(),
-                    t.column("n").to_pylist(),
-                ):
-                    p = _prefix_len(n)
-                    ordered = sorted(words, key=lambda w: (self.df[w], w))
-                    for w in ordered[:p]:
-                        ids.append(doc_id)
-                        toks.append(w)
-                        ns.append(n)
-                return pa.table(
-                    {
-                        "doc_id": pa.array(ids, pa.int64()),
-                        "token": pa.array(toks, pa.string()),
-                        "n": pa.array(ns, pa.int64()),
-                    }
-                ).cast(prefix_schema)
+                out = (
+                    pl.from_arrow(t.select(["doc_id", "words", "n"]))
+                    .explode("words")
+                    .rename({"words": "token"})
+                    .join(self.df_frame, on="token", how="left")
+                    .sort(["doc_id", "df", "token"])
+                    .with_columns(
+                        rank=pl.int_range(pl.len()).over("doc_id"),
+                        p=pl.col("n")
+                        - (THRESHOLD_NUM * pl.col("n") + THRESHOLD_DEN - 1)
+                        // THRESHOLD_DEN
+                        + 1,
+                    )
+                    .filter(pl.col("rank") < pl.col("p"))
+                    .select("doc_id", "token", "n")
+                )
+                return out.to_arrow().cast(prefix_schema)
 
         prefixes = sets.map_batches(
             PrefixSelect,
